@@ -1,0 +1,68 @@
+"""pytorchhessianfree_tpu -- a TPU-native Hessian-free optimization framework.
+
+Ground-up JAX/XLA rebuild of the capabilities of ltatzel/PyTorchHessianFree
+(Martens' Hessian-free optimizer with GGN/Hessian matvecs, preconditioned CG
+with Martens' termination criterion, Levenberg-Marquardt damping,
+CG-backtracking and Armijo line search), redesigned TPU-first: the entire
+optimizer step -- including every trial forward pass of the backtracking and
+line-search loops -- compiles into a single XLA program with zero host
+round-trips, and batch scaling maps onto `jax.sharding` data parallelism
+instead of sequential accumulation.
+"""
+
+from .config import CGConfig, HFConfig, LineSearchConfig
+from .ops.cg import CG_REASON_STRINGS, CGResult, cg, cg_reason_str, storing_grid
+from .ops.curvature import ggnvp_fn, hvp_fn
+from .ops.precond import (
+    diag_EF,
+    diag_EF_preconditioner,
+    diag_EF_scan,
+    diag_to_preconditioner,
+)
+from .ops.select import (
+    BacktrackResult,
+    LinesearchResult,
+    cg_backtracking,
+    cg_efficient_backtracking,
+    simple_linesearch,
+)
+from .optimizer import (
+    HFModelFns,
+    HFState,
+    HFStats,
+    hf_step,
+    init_state,
+    make_hf_step,
+)
+from .utils.flatten import TrainableRavel
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "CGConfig",
+    "HFConfig",
+    "LineSearchConfig",
+    "CG_REASON_STRINGS",
+    "CGResult",
+    "cg",
+    "cg_reason_str",
+    "storing_grid",
+    "ggnvp_fn",
+    "hvp_fn",
+    "diag_EF",
+    "diag_EF_preconditioner",
+    "diag_EF_scan",
+    "diag_to_preconditioner",
+    "BacktrackResult",
+    "LinesearchResult",
+    "cg_backtracking",
+    "cg_efficient_backtracking",
+    "simple_linesearch",
+    "HFModelFns",
+    "HFState",
+    "HFStats",
+    "hf_step",
+    "init_state",
+    "make_hf_step",
+    "TrainableRavel",
+]

@@ -1,0 +1,126 @@
+"""Configuration for the TPU-native Hessian-free optimizer.
+
+The reference (ltatzel/PyTorchHessianFree) configures the optimizer through
+``HessianFree.__init__`` keyword arguments validated eagerly
+(reference: hessianfree/optimizer.py:23-123).  Here the same nine knobs (plus
+solver sub-configs) live in frozen, hashable dataclasses so the entire
+optimizer step can be staged through ``jax.jit`` with the config as a static
+argument.  Defaults match the reference exactly:
+
+- ``curvature_opt="ggn"``, ``damping=1.0``, ``adapt_damping=True``,
+  ``cg_max_iter=250``, ``cg_decay_x0=0.95``, ``use_cg_backtracking=True``,
+  ``lr=1.0``, ``use_linesearch=True`` (reference optimizer.py:23-35);
+- CG: ``tol=1e-5`` (reference cg.py:16), storage-grid ``gamma=1.3``
+  (reference cg.py:152), Martens relative-progress threshold ``5e-4``
+  (reference cg.py:102);
+- line search: ``beta=0.8``, ``c=1e-2``, ``max_iter=20``
+  (reference linesearch.py:8-16).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import warnings
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class CGConfig:
+    """Hyperparameters of the preconditioned-CG inner solver.
+
+    Mirrors the keyword arguments of the reference ``cg`` function
+    (reference cg.py:9-20) that are not supplied per-call by the optimizer.
+    """
+
+    tol: float = 1e-5
+    atol: Optional[float] = None
+    martens_threshold: float = 5e-4  # reference cg.py:102
+    martens_min_window: int = 10  # k = max(10, iter // 10), reference cg.py:98
+    grid_gamma: float = 1.3  # storage grid ceil(gamma^j) - 1, reference cg.py:152
+    # "ignore" keeps non-positive directional curvature, "saddle-free" takes
+    # its absolute value (reference cg.py:123-147).
+    nonpos_curv_option: str = "ignore"
+
+    def __post_init__(self):
+        if self.grid_gamma < 1.0:
+            raise ValueError(f"Invalid gamma = {self.grid_gamma}")
+        if self.nonpos_curv_option not in ("ignore", "saddle-free"):
+            raise ValueError(f"Unknown option {self.nonpos_curv_option}.")
+
+
+@dataclasses.dataclass(frozen=True)
+class LineSearchConfig:
+    """Armijo backtracking line-search hyperparameters
+    (reference linesearch.py:8-16)."""
+
+    beta: float = 0.8
+    c: float = 1e-2
+    max_iter: int = 20
+    # "sequential" reproduces the reference's early-exit loop as a
+    # lax.while_loop; "batched" evaluates every candidate step size in one
+    # vmapped forward sweep (mathematically identical selection: the largest
+    # alpha satisfying the Armijo condition wins either way) and is usually
+    # faster on TPU for small models.
+    mode: str = "sequential"
+
+    def __post_init__(self):
+        if self.beta >= 1.0:
+            raise ValueError(f"Invalid reduction factor beta = {self.beta}")
+        if self.c < 0.0:
+            raise ValueError(f"Invalid c = {self.c}")
+        if self.mode not in ("sequential", "batched"):
+            raise ValueError(f"Unknown line-search mode {self.mode}")
+
+
+@dataclasses.dataclass(frozen=True)
+class HFConfig:
+    """Top-level Hessian-free optimizer configuration.
+
+    Field-for-field analog of ``HessianFree.__init__``
+    (reference optimizer.py:23-35).  ``damping`` here is only the *initial*
+    damping; the live (LM-adapted) value is carried in :class:`HFState`.
+    """
+
+    curvature_opt: str = "ggn"
+    damping: float = 1.0
+    adapt_damping: bool = True
+    cg_max_iter: Optional[int] = 250
+    cg_decay_x0: float = 0.95
+    use_cg_backtracking: bool = True
+    lr: float = 1.0
+    use_linesearch: bool = True
+    verbose: bool = False
+    # Unlike the reference -- which only evaluates the post-update loss when
+    # `verbose` or when the line search already produced it
+    # (reference optimizer.py:329, :353-356) -- we always report a final loss
+    # in the step stats when this flag is set (documented deviation).
+    compute_final_loss: bool = True
+    # "sequential" walks the CG iterates in reverse with early exit, exactly
+    # like `cg_efficient_backtracking` (reference cg_backtracking.py:53-112);
+    # "batched" evaluates all stored iterates in one vmapped sweep and then
+    # applies the identical reverse-walk selection rule on-device.
+    backtracking_mode: str = "sequential"
+    cg: CGConfig = dataclasses.field(default_factory=CGConfig)
+    linesearch: LineSearchConfig = dataclasses.field(
+        default_factory=LineSearchConfig
+    )
+
+    def __post_init__(self):
+        # Eager validation, mirroring reference optimizer.py:80-101.
+        if self.curvature_opt not in ("hessian", "ggn"):
+            raise ValueError(f"Invalid curvature_opt = {self.curvature_opt}")
+        if self.damping < 0.0:
+            raise ValueError(f"Invalid damping = {self.damping}")
+        if self.damping == 0.0 and self.adapt_damping:
+            # The reference silently flips adapt_damping off with a warning
+            # (reference optimizer.py:88-90).
+            warnings.warn("The damping is set to `0.0` and won't get adapted.")
+            object.__setattr__(self, "adapt_damping", False)
+        if self.cg_max_iter is not None and self.cg_max_iter < 1:
+            raise ValueError(f"Invalid cg_max_iter: {self.cg_max_iter}")
+        if self.lr < 0.0:
+            raise ValueError(f"Invalid learning rate lr = {self.lr}")
+        if self.backtracking_mode not in ("sequential", "batched"):
+            raise ValueError(
+                f"Unknown backtracking mode {self.backtracking_mode}"
+            )

@@ -1,0 +1,2 @@
+"""Compute-path ops: CG solver, curvature matvecs, preconditioners, step
+selection."""

@@ -1,0 +1,282 @@
+"""Preconditioned conjugate gradients as one on-device ``lax.while_loop``.
+
+TPU-native rebuild of the reference CG solver (reference hessianfree/cg.py:9-231),
+which minimizes the quadratic ``m(x) = 0.5 x^T A x - b^T x`` via matrix-free
+matvecs.  The reference host-syncs every iteration (``.item()`` calls inside
+``_terminate_cg``); here the entire solve -- Martens' relative-progress
+criterion, the tolerance tests, non-positive-curvature handling and the
+iterate-storage grid -- is staged into a single jitted ``lax.while_loop``
+with on-device termination flags and zero host round-trips per iteration.
+
+Semantics parity map (reference cg.py line numbers):
+- termination order Martens -> max_iter -> NaN -> tolerances (:96-118);
+- Martens window ``k = max(10, iter // 10)``, threshold ``5e-4`` (:98-103);
+- residual bound ``max(tol * ||b||, atol)`` with strict ``<`` (:75-76, :114);
+- storage grid ``ceil(gamma^j) - 1`` (:152-170) becomes a static slot table
+  scattered into a preallocated ``[G, n]`` buffer (replacing the ``None``
+  holes of the reference's ``x_iters`` list, :187, :210);
+- non-positive ``pAp`` options "ignore" / "saddle-free" (:123-147) become a
+  returned flag plus a static select (warnings don't compose with jit).
+"""
+
+from __future__ import annotations
+
+from math import ceil, log
+from typing import Callable, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Termination reason codes.  String forms match the reference exactly
+# (reference cg.py:103, :107, :111, :115).
+REASON_RUNNING = 0
+REASON_MARTENS = 1
+REASON_MAX_ITER = 2
+REASON_DIVERGENCE = 3
+REASON_TOLERANCES = 4
+
+CG_REASON_STRINGS = {
+    REASON_RUNNING: "Running",
+    REASON_MARTENS: "Convergence (Martens)",
+    REASON_MAX_ITER: "Number of iterations",
+    REASON_DIVERGENCE: "Divergence",
+    REASON_TOLERANCES: "Convergence (tolerances)",
+}
+
+
+def cg_reason_str(code: int) -> str:
+    """Human-readable termination reason for a reason code."""
+    return CG_REASON_STRINGS[int(code)]
+
+
+def storing_grid(max_iter: int, gamma: float = 1.3) -> Tuple[int, ...]:
+    """Static grid of iterations at which CG stores its iterate.
+
+    Includes ``ceil(gamma^j) - 1`` for ``j = 0, 1, ..., j_max`` with
+    ``j_max = ceil(log(max_iter + 1) / log(gamma))``, deduplicated and sorted
+    (reference cg.py:152-170).  Entries beyond ``max_iter`` are dropped here
+    since the loop can never reach them (the reference keeps them in its list
+    but likewise never stores at them).
+    """
+    if gamma <= 1.0:
+        raise ValueError(f"Invalid gamma = {gamma}")
+    j_max = ceil(log(max_iter + 1) / log(gamma))
+    iters = sorted({int(ceil(gamma**j) - 1) for j in range(j_max + 1)})
+    return tuple(i for i in iters if i <= max_iter)
+
+
+class CGResult(NamedTuple):
+    """On-device result of a CG solve.
+
+    The reference returns a ragged ``x_iters`` list with ``None`` holes whose
+    last entry is always the final iterate (reference cg.py:229-231); here the
+    stored iterates live in the static-shaped buffer ``x_buf`` (row ``g``
+    corresponds to iteration ``stored_iters[g]``; rows with
+    ``stored_iters[g] > num_iters`` were never reached) and the final iterate
+    is explicit in ``x``.
+    """
+
+    x: jax.Array  # [n] final iterate
+    num_iters: jax.Array  # int32, number of CG iterations performed (>= 1)
+    reason: jax.Array  # int32 termination code (see CG_REASON_STRINGS)
+    x_buf: jax.Array  # [G, n] iterates stored at the grid iterations
+    stored_iters: Tuple[int, ...]  # static; iteration number per buffer row
+    m_hist: jax.Array  # [max_iter + 1] quadratic values m(x_i); valid 0..num_iters
+    nonpos_pAp: jax.Array  # bool, non-positive directional curvature detected
+
+    @property
+    def m_final(self) -> jax.Array:
+        """``m_iters[-1]`` of the reference: quadratic value at termination."""
+        return self.m_hist[self.num_iters]
+
+    def reached(self) -> jax.Array:
+        """[G] bool mask: buffer rows actually filled before termination."""
+        iters = jnp.asarray(self.stored_iters, jnp.int32)
+        return iters <= self.num_iters
+
+
+def cg(
+    A: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    M: Optional[Callable[[jax.Array], jax.Array]] = None,
+    max_iter: Optional[int] = None,
+    tol: float = 1e-5,
+    atol: Optional[float] = None,
+    martens_conv_crit: bool = False,
+    store_x_at_iters: Optional[Sequence[int]] = (),
+    grid_gamma: float = 1.3,
+    martens_threshold: float = 5e-4,
+    martens_min_window: int = 10,
+    nonpos_curv_option: str = "ignore",
+) -> CGResult:
+    """Preconditioned CG for ``A x = b`` with Hessian-free modifications.
+
+    Drop-in functional analog of the reference ``cg``
+    (reference cg.py:9-231).  ``A`` and ``M`` are matrix-free matvec closures
+    (they may close over traced values, e.g. a linearized model).  This
+    function is meant to be traced inside an enclosing ``jax.jit``; it builds
+    one ``lax.while_loop`` whose body performs exactly one curvature matvec.
+
+    Args:
+        A: s.p.d. matvec ``x -> A @ x``.
+        b: right-hand side, flat ``[n]`` vector.
+        x0: warm start (zeros if ``None``, reference cg.py:178).
+        M: preconditioner matvec approximating ``A^{-1}`` (identity if None).
+        max_iter: static iteration cap; ``n`` if None (reference cg.py:177).
+        tol, atol: terminate when ``||r|| < max(tol * ||b||, atol)``.
+        martens_conv_crit: enable Martens' relative-progress criterion.
+        store_x_at_iters: iterations at which to store the iterate.  ``None``
+            selects the automatic ``ceil(gamma^j) - 1`` grid; the empty tuple
+            stores nothing besides the explicit final ``x``.
+        nonpos_curv_option: "ignore" or "saddle-free" (reference cg.py:123-147).
+    """
+    if nonpos_curv_option not in ("ignore", "saddle-free"):
+        raise ValueError(f"Unknown option {nonpos_curv_option}.")
+
+    n = b.shape[0]
+    dtype = b.dtype
+    max_iter = int(n if max_iter is None else max_iter)
+
+    if store_x_at_iters is None:
+        stored_iters = storing_grid(max_iter, grid_gamma)
+    else:
+        stored_iters = tuple(
+            sorted({int(i) for i in store_x_at_iters if 0 <= int(i) <= max_iter})
+        )
+    G = len(stored_iters)
+
+    # Static iteration -> buffer-slot table (-1 = not stored).
+    slot_of_iter = np.full((max_iter + 1,), -1, np.int32)
+    for g, it in enumerate(stored_iters):
+        slot_of_iter[it] = g
+    slot_of_iter = jnp.asarray(slot_of_iter)
+
+    x0 = jnp.zeros_like(b) if x0 is None else x0.astype(dtype)
+
+    # Tolerance-based residual bound (reference cg.py:75-76).
+    res_bound = tol * jnp.linalg.norm(b)
+    if atol is not None:
+        res_bound = jnp.maximum(res_bound, jnp.asarray(atol, dtype))
+
+    def apply_M(r):
+        return M(r) if M is not None else r
+
+    # Initialization (reference cg.py:186-192).
+    r0 = A(x0) - b
+    m0 = 0.5 * jnp.vdot(r0 - b, x0)
+    m_hist = jnp.zeros((max_iter + 1,), dtype).at[0].set(m0)
+    y0 = apply_M(r0)
+    ry0 = jnp.vdot(r0, y0)
+    p0 = -y0
+
+    x_buf = jnp.zeros((max(G, 1), n), dtype)
+    if G and stored_iters[0] == 0:
+        x_buf = x_buf.at[0].set(x0)
+    if G == 0:
+        x_buf = x_buf[:0]  # zero-row buffer, static shape (0, n)
+
+    def cond(carry):
+        return jnp.logical_not(carry[7])
+
+    def body(carry):
+        x, r, p, ry_old, it, m_hist, x_buf, _done, _reason, nonpos = carry
+
+        # One curvature matvec per iteration -- the hot op (reference cg.py:205).
+        Ap = A(p)
+        pAp_raw = jnp.vdot(p, Ap)
+        nonpos_i = pAp_raw <= 0
+        if nonpos_curv_option == "saddle-free":
+            pAp = jnp.abs(pAp_raw)
+        else:
+            pAp = pAp_raw
+        alpha = ry_old / pAp
+        x_new = x + alpha * p
+
+        # Scatter the iterate into its grid slot, if any (reference cg.py:209-210).
+        if G:
+            slot = slot_of_iter[it]
+            safe = jnp.maximum(slot, 0)
+            row = jnp.where(slot >= 0, x_new, x_buf[safe])
+            x_buf = x_buf.at[safe].set(row)
+
+        r_new = r + alpha * Ap
+
+        # Quadratic value m(x) tracked as 0.5 (r - b) . x (reference cg.py:97).
+        m = 0.5 * jnp.vdot(r_new - b, x_new)
+        m_hist = m_hist.at[it].set(m)
+
+        res_norm = jnp.linalg.norm(r_new)
+
+        # Termination tests, in reference priority order (reference cg.py:96-118).
+        if martens_conv_crit:
+            k = jnp.maximum(martens_min_window, it // 10)
+            m_lag = m_hist[jnp.maximum(it - k, 0)]
+            martens = (k < it) & ((m - m_lag) / (m - m_hist[0]) < martens_threshold)
+        else:
+            martens = jnp.asarray(False)
+        maxed = it >= max_iter
+        diverged = jnp.isnan(res_norm)
+        within_tol = res_norm < res_bound
+
+        reason = jnp.where(
+            martens,
+            REASON_MARTENS,
+            jnp.where(
+                maxed,
+                REASON_MAX_ITER,
+                jnp.where(
+                    diverged,
+                    REASON_DIVERGENCE,
+                    jnp.where(within_tol, REASON_TOLERANCES, REASON_RUNNING),
+                ),
+            ),
+        ).astype(jnp.int32)
+        done = martens | maxed | diverged | within_tol
+
+        # Next search direction (reference cg.py:220-224); harmless garbage on
+        # the final iteration since the loop exits before it is used.
+        y = apply_M(r_new)
+        ry_new = jnp.vdot(r_new, y)
+        beta = ry_new / ry_old
+        p_new = -y + beta * p
+
+        return (
+            x_new,
+            r_new,
+            p_new,
+            ry_new,
+            it + 1,
+            m_hist,
+            x_buf,
+            done,
+            reason,
+            nonpos | nonpos_i,
+        )
+
+    init = (
+        x0,
+        r0,
+        p0,
+        ry0,
+        jnp.asarray(1, jnp.int32),
+        m_hist,
+        x_buf,
+        jnp.asarray(False),
+        jnp.asarray(REASON_RUNNING, jnp.int32),
+        jnp.asarray(False),
+    )
+    x, _r, _p, _ry, it, m_hist, x_buf, _done, reason, nonpos = jax.lax.while_loop(
+        cond, body, init
+    )
+
+    return CGResult(
+        x=x,
+        num_iters=it - 1,
+        reason=reason,
+        x_buf=x_buf,
+        stored_iters=stored_iters,
+        m_hist=m_hist,
+        nonpos_pAp=nonpos,
+    )

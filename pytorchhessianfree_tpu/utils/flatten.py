@@ -1,0 +1,156 @@
+"""Flat-vector <-> parameter-pytree conversion with a trainable mask.
+
+TPU-native replacement for the reference's parameter-vector utilities
+(reference hessianfree/utils.py:8-76 and
+``torch.nn.utils.convert_parameters.parameters_to_vector``).  The CG solver,
+preconditioner and line search all operate on a single flat vector spanning
+only the *trainable* parameters; frozen parameters (the analog of
+``requires_grad == False``, reference optimizer.py:122, utils.py:29-33) are
+kept constant and receive zero tangents.
+
+Everything here is shape-static and jit-traceable: a :class:`TrainableRavel`
+is built once per parameter structure on the host, then its methods are pure
+functions of arrays.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class TrainableRavel:
+    """Ravel/unravel the trainable subset of a parameter pytree.
+
+    Args:
+        params: Template parameter pytree (array leaves define shapes/dtypes).
+        trainable: Optional pytree of booleans with the same structure (or a
+            prefix thereof, broadcast per-leaf like ``requires_grad`` per
+            tensor).  ``None`` marks every leaf trainable.
+    """
+
+    def __init__(self, params: Any, trainable: Optional[Any] = None):
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        self._treedef = treedef
+        self._shapes = [jnp.shape(leaf) for leaf in leaves]
+        self._dtypes = [jnp.result_type(leaf) for leaf in leaves]
+
+        if trainable is None:
+            mask = [True] * len(leaves)
+        else:
+            mask_leaves = jax.tree_util.tree_leaves(
+                jax.tree_util.tree_map(bool, trainable)
+            )
+            if len(mask_leaves) != len(leaves):
+                raise ValueError(
+                    "Trainable mask must have one boolean per parameter "
+                    f"leaf: got {len(mask_leaves)} for {len(leaves)} leaves."
+                )
+            mask = [bool(m) for m in mask_leaves]
+        self._mask = mask
+
+        sizes = [int(np.prod(s)) if m else 0 for s, m in zip(self._shapes, mask)]
+        offsets = np.cumsum([0] + sizes)
+        self._offsets = offsets
+        self.dim = int(offsets[-1])
+        if self.dim == 0:
+            raise ValueError("No trainable parameters.")
+        # All trainable leaves are promoted to a common dtype in the flat
+        # vector (the reference concatenates tensors of one dtype anyway).
+        train_dtypes = [d for d, m in zip(self._dtypes, mask) if m]
+        self.dtype = jnp.result_type(*train_dtypes)
+
+    # -- pytree -> vector --------------------------------------------------
+    def ravel(self, tree: Any) -> jax.Array:
+        """Concatenate the trainable leaves of ``tree`` into a flat vector.
+
+        Analog of ``parameters_to_vector`` restricted to trainable params
+        (reference optimizer.py:234, :288).
+        """
+        leaves = jax.tree_util.tree_leaves(tree)
+        parts = [
+            jnp.ravel(leaf).astype(self.dtype)
+            for leaf, m in zip(leaves, self._mask)
+            if m
+        ]
+        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+    # -- vector -> pytree --------------------------------------------------
+    def _check_len(self, vec: jax.Array):
+        if vec.ndim != 1 or vec.shape[0] != self.dim:
+            # The reference merely warns on length mismatch
+            # (reference utils.py:37-38); under jit shapes are static so we
+            # can afford a hard error at trace time.
+            raise ValueError(
+                f"Expected a flat vector of length {self.dim}, got shape "
+                f"{vec.shape}."
+            )
+
+    def unravel(self, vec: jax.Array) -> Any:
+        """Vector -> pytree whose frozen leaves are zeros (a tangent pytree).
+
+        Analog of ``vector_to_parameter_list`` (reference utils.py:41-76)
+        extended with zero entries for frozen leaves so the result is a valid
+        tangent for ``jax.jvp``.
+        """
+        self._check_len(vec)
+        out = []
+        for i, (shape, dtype, m) in enumerate(
+            zip(self._shapes, self._dtypes, self._mask)
+        ):
+            size = int(np.prod(shape))
+            if m:
+                start = self._offsets[i]
+                out.append(
+                    jnp.reshape(vec[start : start + size], shape).astype(dtype)
+                )
+            else:
+                out.append(jnp.zeros(shape, dtype))
+        return jax.tree_util.tree_unflatten(self._treedef, out)
+
+    def write(self, params: Any, vec: jax.Array) -> Any:
+        """Replace trainable leaves of ``params`` with slices of ``vec``.
+
+        Functional analog of ``vector_to_trainparams``
+        (reference utils.py:8-38): frozen leaves pass through unchanged.
+        """
+        self._check_len(vec)
+        leaves = jax.tree_util.tree_leaves(params)
+        out = []
+        for idx, (leaf, m) in enumerate(zip(leaves, self._mask)):
+            if m:
+                size = int(np.prod(self._shapes[idx]))
+                start = self._offsets[idx]
+                out.append(
+                    jnp.reshape(vec[start : start + size], self._shapes[idx])
+                    .astype(self._dtypes[idx])
+                )
+            else:
+                out.append(leaf)
+        return jax.tree_util.tree_unflatten(self._treedef, out)
+
+    def add(self, params: Any, vec: jax.Array) -> Any:
+        """Return ``params + unravel(vec)`` -- the trial-parameter write the
+        reference performs in-place (reference optimizer.py:290-294, :349-350)
+        done functionally."""
+        self._check_len(vec)
+        leaves = jax.tree_util.tree_leaves(params)
+        out = []
+        for idx, (leaf, m) in enumerate(zip(leaves, self._mask)):
+            if m:
+                size = int(np.prod(self._shapes[idx]))
+                start = self._offsets[idx]
+                delta = jnp.reshape(
+                    vec[start : start + size], self._shapes[idx]
+                ).astype(self._dtypes[idx])
+                out.append(leaf + delta)
+            else:
+                out.append(leaf)
+        return jax.tree_util.tree_unflatten(self._treedef, out)
+
+    def zeros(self) -> jax.Array:
+        """A zero flat vector of the trainable dimension."""
+        return jnp.zeros((self.dim,), self.dtype)

@@ -1,0 +1,228 @@
+"""Tests for the on-device PCG solver.
+
+Ports the reference test strategy (reference tests/test_cg.py): residual
+tolerance on random SPD systems with/without Jacobi preconditioning, the
+``m_iters`` = quadratic-oracle identity, exact None == identity
+preconditioner equivalence, and one-iteration convergence with M = A^{-1}.
+Plus rebuild-specific checks: the static storage grid and the
+reached/stored-iterate buffer semantics.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorchhessianfree_tpu import cg, storing_grid
+from pytorchhessianfree_tpu.ops.cg import (
+    REASON_MARTENS,
+    REASON_MAX_ITER,
+    REASON_TOLERANCES,
+)
+from test_utils_hf import get_linear_system
+
+SEEDS = [0, 1, 42]
+DIMS = [3, 10, 50]
+TOLS = [1e-3, 1e-6]
+ATOLS = [1e-3, 1e-6]
+# Incrementally computed residual may drift slightly from A @ x - b
+# (reference tests/test_cg.py:31).
+EPS = 5e-6
+
+
+def _jacobi(A):
+    d_inv = 1.0 / jnp.diag(A)
+
+    def M(x):
+        return d_inv * x
+
+    return M
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+@pytest.mark.parametrize("dim", DIMS)
+@pytest.mark.parametrize("tol", TOLS)
+@pytest.mark.parametrize("atol", ATOLS)
+@pytest.mark.parametrize("precondition", [True, False])
+def test_cg_residuals(seed, dim, tol, atol, precondition):
+    A, b, x_exact = get_linear_system(dim, seed=seed, dtype=jnp.float32)
+    M = _jacobi(A) if precondition else None
+
+    res = cg(
+        lambda x: A @ x,
+        b,
+        M=M,
+        max_iter=10 * dim,
+        tol=tol,
+        atol=atol,
+        martens_conv_crit=False,
+        store_x_at_iters=(),
+    )
+    res_norm = float(jnp.linalg.norm(A @ res.x - b))
+    b_norm = float(jnp.linalg.norm(b))
+    assert res_norm <= max(tol * b_norm, atol) + EPS, "cg did not converge."
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+@pytest.mark.parametrize("dim", DIMS)
+@pytest.mark.parametrize("x0_none", [True, False])
+@pytest.mark.parametrize("precondition", [True, False])
+def test_cg_m_hist(seed, dim, x0_none, precondition):
+    """m_hist entries must equal the quadratic 0.5 x^T A x - b^T x evaluated
+    at the stored iterates (reference tests/test_cg.py:103-156, atol 1e-7)."""
+    A, b, _ = get_linear_system(dim, seed=seed, dtype=jnp.float32)
+    rng = np.random.default_rng(seed + 7)
+    x0 = None if x0_none else jnp.asarray(
+        2 * (rng.random(dim) - 0.5), jnp.float32
+    )
+    M = _jacobi(A) if precondition else None
+
+    max_iter = 10 * dim
+    res = cg(
+        lambda x: A @ x,
+        b,
+        x0=x0,
+        M=M,
+        max_iter=max_iter,
+        tol=1e-5,
+        atol=1e-6,
+        martens_conv_crit=True,
+        store_x_at_iters=range(max_iter + 1),  # store everything
+    )
+
+    def quadratic(x):
+        return 0.5 * x @ (A @ x) - b @ x
+
+    num = int(res.num_iters)
+    # iterate 0 is the (implicit or explicit) x0 stored in buffer row 0
+    for it in range(num + 1):
+        x_it = res.x if it == num else res.x_buf[it]
+        np.testing.assert_allclose(
+            float(quadratic(x_it)), float(res.m_hist[it]), rtol=1e-5, atol=1e-6
+        )
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+@pytest.mark.parametrize("dim", DIMS)
+def test_pcg_identity_and_inverse(seed, dim):
+    """M=None must equal M=identity exactly; M=A^{-1} must converge in one
+    iteration in f64 (reference tests/test_cg.py:162-224)."""
+    A, b, _ = get_linear_system(dim, seed=seed, dtype=jnp.float64)
+    A_inv = jnp.linalg.inv(A)
+
+    results = {}
+    for name, M in [
+        ("none", None),
+        ("identity", lambda x: x),
+        ("A_inv", lambda x: A_inv @ x),
+    ]:
+        results[name] = cg(
+            lambda x: A @ x,
+            b,
+            M=M,
+            max_iter=10 * dim,
+            tol=1e-5,
+            atol=1e-6,
+            martens_conv_crit=False,
+            store_x_at_iters=range(10 * dim),
+        )
+
+    # None and identity: exact equality at every stored iterate
+    assert int(results["none"].num_iters) == int(results["identity"].num_iters)
+    np.testing.assert_array_equal(
+        np.asarray(results["none"].x_buf), np.asarray(results["identity"].x_buf)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(results["none"].x), np.asarray(results["identity"].x)
+    )
+
+    # Perfect preconditioner: single iteration
+    assert int(results["A_inv"].num_iters) <= 1
+
+
+def test_storing_grid_matches_reference_formula():
+    """Grid = dedup sorted ceil(1.3^j) - 1 (reference cg.py:152-170)."""
+    from math import ceil, log
+
+    for max_iter in [10, 50, 250]:
+        grid = storing_grid(max_iter)
+        j_max = ceil(log(max_iter + 1) / log(1.3))
+        expected = sorted(
+            {int(ceil(1.3**j) - 1) for j in range(j_max + 1)}
+        )
+        expected = [i for i in expected if i <= max_iter]
+        assert list(grid) == expected
+        assert grid[0] == 0  # x0 always stored on the auto grid
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_reason_codes(seed):
+    A, b, _ = get_linear_system(20, seed=seed, dtype=jnp.float64)
+
+    # max_iter = 1 forces "Number of iterations"
+    res = cg(lambda x: A @ x, b, max_iter=1, tol=1e-30, atol=None,
+             martens_conv_crit=False)
+    assert int(res.reason) == REASON_MAX_ITER
+    assert int(res.num_iters) == 1
+
+    # generous tolerance converges
+    res = cg(lambda x: A @ x, b, max_iter=400, tol=1e-8,
+             martens_conv_crit=False)
+    assert int(res.reason) == REASON_TOLERANCES
+
+
+def test_martens_criterion_triggers():
+    """On a large ill-conditioned system with loose max_iter, Martens'
+    relative-progress criterion should fire before the tolerances
+    (the reference notes it triggers for dim > 10 on quadratics,
+    reference tests/test_optimizer.py:106-108)."""
+    A, b, _ = get_linear_system(200, seed=0, dtype=jnp.float64)
+    res = cg(
+        lambda x: A @ x,
+        b,
+        max_iter=2000,
+        tol=1e-14,
+        martens_conv_crit=True,
+    )
+    assert int(res.reason) == REASON_MARTENS
+    assert int(res.num_iters) < 2000
+
+
+def test_reached_mask_and_final_iterate():
+    A, b, _ = get_linear_system(30, seed=1, dtype=jnp.float64)
+    res = cg(
+        lambda x: A @ x,
+        b,
+        max_iter=300,
+        tol=1e-6,
+        martens_conv_crit=False,
+        store_x_at_iters=None,  # automatic grid
+    )
+    num = int(res.num_iters)
+    reached = np.asarray(res.reached())
+    for g, it in enumerate(res.stored_iters):
+        assert reached[g] == (it <= num)
+        if 0 < it <= num:
+            # stored iterate must not be the zero row
+            assert np.linalg.norm(np.asarray(res.x_buf[g])) > 0
+
+
+def test_cg_jit_and_warm_start():
+    """cg must trace inside jit, and a warm start at the solution must
+    terminate immediately by tolerance."""
+    A, b, x_exact = get_linear_system(10, seed=2, dtype=jnp.float64)
+
+    @jax.jit
+    def solve(b, x0):
+        return cg(
+            lambda x: A @ x,
+            b,
+            x0=x0,
+            max_iter=100,
+            tol=1e-5,
+            martens_conv_crit=True,
+        )
+
+    res_cold = solve(b, jnp.zeros_like(b))
+    res_warm = solve(b, res_cold.x)
+    assert int(res_warm.num_iters) <= 2

@@ -26,10 +26,15 @@ from .ops.select import (
     cg_efficient_backtracking,
     simple_linesearch,
 )
+from .accumulate import acc_grad, acc_loss, acc_reduce, make_acc_mvp
 from .optimizer import (
+    HessianFree,
     HFModelFns,
     HFState,
     HFStats,
+    check_deterministic,
+    check_reduction,
+    hf_acc_step,
     hf_step,
     init_state,
     make_hf_step,
@@ -58,11 +63,19 @@ __all__ = [
     "cg_backtracking",
     "cg_efficient_backtracking",
     "simple_linesearch",
+    "HessianFree",
     "HFModelFns",
     "HFState",
     "HFStats",
+    "check_deterministic",
+    "check_reduction",
+    "hf_acc_step",
     "hf_step",
     "init_state",
     "make_hf_step",
+    "acc_grad",
+    "acc_loss",
+    "acc_reduce",
+    "make_acc_mvp",
     "TrainableRavel",
 ]

@@ -1,0 +1,175 @@
+"""Chunked accumulation of loss / gradient / curvature matvecs.
+
+TPU-native rebuild of the reference's ``acc_step`` machinery
+(reference optimizer.py:519-814): the loss, gradient and curvature matvec
+are each evaluated over *independent* lists of mini-batches and accumulated
+as ``result += N_i * r_i`` then ``/ num_data`` for ``reduction="mean"``,
+plain sums for ``"sum"`` (reference optimizer.py:678-684).  This enables
+effective batch sizes far beyond device memory.
+
+Two data layouts are supported:
+
+- **stacked**: ``(inputs, targets)`` with a leading chunk axis
+  ``[C, N, ...]`` -- accumulated with ``lax.scan`` (O(1) compiled size,
+  uniform chunk shapes, the jit-friendly fast path);
+- **list**: a Python list of ``(inputs, targets)`` tuples with arbitrary
+  (ragged) per-chunk batch sizes -- unrolled at trace time, matching the
+  reference's ragged datalists (reference tests/test_optimizer_acc.py uses
+  N_list = [7, 8]).
+
+Like the reference (whose docstring admits the inefficiency,
+reference optimizer.py:536-541), the matvec accumulator re-runs one
+forward + linearization per chunk *per CG iteration*; the data-parallel mesh
+path in ``parallel/`` is the scalable alternative.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from .config import HFConfig
+from .ops.curvature import ggnvp_fn, hvp_fn
+from .utils.flatten import TrainableRavel
+
+Datalist = Union[Tuple[jax.Array, jax.Array], Sequence[Tuple[jax.Array, jax.Array]]]
+
+
+def _is_stacked(data: Datalist) -> bool:
+    return (
+        isinstance(data, tuple)
+        and len(data) == 2
+        and hasattr(data[0], "ndim")
+    )
+
+
+def _chunks(data: Datalist) -> List[Tuple[jax.Array, jax.Array]]:
+    if _is_stacked(data):
+        xs, ys = data
+        return [(xs[i], ys[i]) for i in range(xs.shape[0])]
+    return list(data)
+
+
+def _total_count(data: Datalist) -> int:
+    if _is_stacked(data):
+        xs, ys = data
+        return int(ys.shape[0]) * int(ys.shape[1])
+    return sum(int(y.shape[0]) for _, y in data)
+
+
+def acc_reduce(
+    data: Datalist,
+    eval_chunk: Callable[[jax.Array, jax.Array], Any],
+    reduction: str,
+) -> Any:
+    """Accumulate ``eval_chunk(inputs, targets)`` over chunks.
+
+    Weighted-sum semantics of the reference ``_acc``
+    (reference optimizer.py:608-684): per chunk of size ``N``, add
+    ``N * result`` (mean) or ``result`` (sum); divide by the total count for
+    the mean.  Stacked data uses ``lax.scan`` (uniform N, so the weight is
+    constant); lists are unrolled with exact per-chunk weights.
+    """
+    if reduction not in ("mean", "sum"):
+        raise ValueError(f"Invalid reduction {reduction}")
+
+    if _is_stacked(data):
+        xs, ys = data
+        C, N = ys.shape[0], ys.shape[1]
+
+        def body(acc, xy):
+            r = eval_chunk(*xy)
+            w = N if reduction == "mean" else 1
+            return jax.tree_util.tree_map(lambda a, b: a + w * b, acc, r), None
+
+        zero = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype),
+            jax.eval_shape(lambda: eval_chunk(xs[0], ys[0])),
+        )
+        total, _ = jax.lax.scan(body, zero, (xs, ys))
+        if reduction == "mean":
+            total = jax.tree_util.tree_map(lambda a: a / (C * N), total)
+        return total
+
+    total = None
+    num_data = 0
+    for x, y in data:
+        N = int(y.shape[0])
+        num_data += N
+        r = eval_chunk(x, y)
+        w = N if reduction == "mean" else 1
+        r = jax.tree_util.tree_map(lambda b: w * b, r)
+        total = (
+            r
+            if total is None
+            else jax.tree_util.tree_map(lambda a, b: a + b, total, r)
+        )
+    if reduction == "mean":
+        total = jax.tree_util.tree_map(lambda a: a / num_data, total)
+    return total
+
+
+def acc_loss(
+    fns, params, data: Datalist, reduction: str
+) -> jax.Array:
+    """Accumulated loss (reference optimizer.py:686-723)."""
+    return acc_reduce(
+        data, lambda x, y: fns.full_loss(params, (x, y)), reduction
+    )
+
+
+def acc_grad(
+    fns, params, data: Datalist, reduction: str, ravel: TrainableRavel
+) -> jax.Array:
+    """Accumulated flat gradient (reference optimizer.py:725-765)."""
+
+    def chunk_grad(x, y):
+        g = jax.grad(lambda p: fns.full_loss(p, (x, y)))(params)
+        return ravel.ravel(g)
+
+    return acc_reduce(data, chunk_grad, reduction)
+
+
+def make_acc_mvp(
+    fns,
+    config: HFConfig,
+    params,
+    data: Datalist,
+    reduction: str,
+    ravel: TrainableRavel,
+) -> Callable[[jax.Array], jax.Array]:
+    """Accumulated curvature matvec (reference optimizer.py:767-814).
+
+    Every call re-derives the chunk curvature products (fresh linearization
+    per chunk), exactly like the reference's per-CG-iteration
+    forward+backward per mini-batch.
+    """
+
+    def mvp(v: jax.Array) -> jax.Array:
+        tangent = ravel.unravel(v)
+
+        def chunk_mvp(x, y):
+            if config.curvature_opt == "ggn":
+                _, _, _, gv = ggnvp_fn(
+                    lambda p: fns.model_fn(p, x),
+                    lambda o: fns.loss_outer(o, y),
+                    params,
+                )
+                return ravel.ravel(gv(tangent))
+            _, _, hv = hvp_fn(lambda p: fns.full_loss(p, (x, y)), params)
+            return ravel.ravel(hv(tangent))
+
+        return acc_reduce(data, chunk_mvp, reduction)
+
+    return mvp
+
+
+def concat_datalist(data: Datalist) -> Tuple[jax.Array, jax.Array]:
+    """Concatenate a datalist into one big batch (used by the reduction
+    self-test, reference optimizer.py:870-877)."""
+    chunks = _chunks(data)
+    xs = jnp.concatenate([x for x, _ in chunks], axis=0)
+    ys = jnp.concatenate([y for _, y in chunks], axis=0)
+    return xs, ys

@@ -1,1 +1,38 @@
 """Pure-JAX workload models: MLPs, ResNet-18, All-CNN-C, analytic targets."""
+
+from .allcnnc import allcnnc_apply, init_allcnnc, l2_regularizer
+from .mlp import (
+    cross_entropy_loss,
+    cross_entropy_loss_sum,
+    freeze_first_layer,
+    init_mlp,
+    mlp_apply,
+    mse_loss,
+    mse_loss_sum,
+)
+from .resnet import init_resnet18, resnet18_apply
+from .targetfunc import (
+    quadratic_problem,
+    rosenbrock,
+    rosenbrock_problem,
+    target_func_fns,
+)
+
+__all__ = [
+    "allcnnc_apply",
+    "init_allcnnc",
+    "l2_regularizer",
+    "cross_entropy_loss",
+    "cross_entropy_loss_sum",
+    "freeze_first_layer",
+    "init_mlp",
+    "mlp_apply",
+    "mse_loss",
+    "mse_loss_sum",
+    "init_resnet18",
+    "resnet18_apply",
+    "quadratic_problem",
+    "rosenbrock",
+    "rosenbrock_problem",
+    "target_func_fns",
+]

@@ -1,0 +1,79 @@
+"""Pure-JAX MLP models for the small-NN workloads.
+
+TPU-native analog of the reference's small test networks
+(reference examples/example_utils.py:23-56: a 7 -> 5 -> 5 -> 3 MLP with a
+nested Sequential and an optionally frozen first layer + MSELoss).  Models
+are (init_fn -> params pytree, apply_fn(params, x)) pairs; no module
+framework needed -- parameters are plain pytrees which the optimizer ravels
+directly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _dense_init(key, n_in: int, n_out: int, dtype) -> Dict[str, jax.Array]:
+    wk, bk = jax.random.split(key)
+    scale = 1.0 / jnp.sqrt(jnp.asarray(n_in, jnp.float32))
+    return {
+        "w": (jax.random.uniform(wk, (n_in, n_out), dtype) * 2 - 1) * scale,
+        "b": (jax.random.uniform(bk, (n_out,), dtype) * 2 - 1) * scale,
+    }
+
+
+def init_mlp(
+    key,
+    sizes: Sequence[int] = (7, 5, 5, 3),
+    dtype=jnp.float32,
+) -> Any:
+    """Initialize MLP params: ``{"layers": [dense, dense, ...]}`` with tanh
+    nonlinearities between layers and a linear head."""
+    keys = jax.random.split(key, len(sizes) - 1)
+    layers = [
+        _dense_init(k, sizes[i], sizes[i + 1], dtype)
+        for i, k in enumerate(keys)
+    ]
+    return {"layers": layers}
+
+
+def mlp_apply(params: Any, x: jax.Array) -> jax.Array:
+    layers = params["layers"]
+    for layer in layers[:-1]:
+        x = jnp.tanh(x @ layer["w"] + layer["b"])
+    return x @ layers[-1]["w"] + layers[-1]["b"]
+
+
+def mse_loss(outputs: jax.Array, targets: jax.Array) -> jax.Array:
+    """MSELoss with mean reduction (the reference's default loss for the
+    small-NN problems, reference tests/test_utils.py:46)."""
+    return jnp.mean((outputs - targets) ** 2)
+
+
+def mse_loss_sum(outputs: jax.Array, targets: jax.Array) -> jax.Array:
+    return jnp.sum((outputs - targets) ** 2)
+
+
+def cross_entropy_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Softmax cross-entropy with integer labels, mean reduction
+    (torch.nn.CrossEntropyLoss analog)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+
+
+def cross_entropy_loss_sum(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.sum(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+
+
+def freeze_first_layer(params: Any) -> Any:
+    """Trainable mask with layer 0 frozen -- the reference's
+    ``freeze_layer1`` test knob (reference tests/test_utils.py:40-43)."""
+    mask = jax.tree_util.tree_map(lambda _: True, params)
+    mask["layers"][0] = jax.tree_util.tree_map(
+        lambda _: False, mask["layers"][0]
+    )
+    return mask

@@ -363,13 +363,15 @@ def make_hf_step(
     config: HFConfig,
     ravel: TrainableRavel,
     precond_exponent: float = 0.75,
-    donate: bool = True,
+    donate: bool = False,
 ):
     """Jit-compile the full optimizer step.
 
     Returns ``step(params, state, batch, precond_diag=None) ->
-    (params, state, stats)`` compiled into a single XLA program.  Parameter
-    and state buffers are donated so the update is in-place in HBM.
+    (params, state, stats)`` compiled into a single XLA program.  With
+    ``donate=True`` the parameter and state buffers are donated so the update
+    is in-place in HBM (the stateful :class:`HessianFree` wrapper does this;
+    off by default because donated inputs cannot be reused by the caller).
     """
 
     @functools.partial(
@@ -396,3 +398,367 @@ def make_hf_step(
         return _step(params, state, batch, precond_diag, use_precond)
 
     return step
+
+
+def hf_acc_step(
+    params: Any,
+    state: HFState,
+    *,
+    fns: HFModelFns,
+    config: HFConfig,
+    ravel: TrainableRavel,
+    loss_data,
+    grad_data=None,
+    mvp_data=None,
+    reduction: str = "mean",
+    M: Optional[Callable[[jax.Array], jax.Array]] = None,
+    precond_diag: Optional[jax.Array] = None,
+    precond_exponent: float = 0.75,
+) -> Tuple[Any, HFState, HFStats]:
+    """Accumulated Hessian-free step -- the functional analog of
+    ``HessianFree.acc_step`` (reference optimizer.py:519-606).
+
+    Loss, gradient and curvature matvec are evaluated over *independent*
+    datalists (``grad_data``/``mvp_data`` default to ``loss_data``,
+    reference optimizer.py:575-579) and accumulated with the reference's
+    weighted-sum semantics.  Datalists are either stacked ``[C, N, ...]``
+    arrays (``lax.scan`` accumulation) or Python lists of ragged chunks
+    (unrolled at trace time).  Like the reference, every CG iteration
+    re-derives the curvature products chunk by chunk; the preferred
+    large-scale path on TPU is the data-parallel mesh in ``parallel/``.
+    """
+    from . import accumulate as acc
+
+    if grad_data is None:
+        grad_data = loss_data
+    if mvp_data is None:
+        mvp_data = loss_data
+
+    init_loss = acc.acc_loss(fns, params, loss_data, reduction)
+    grad_vec = acc.acc_grad(fns, params, grad_data, reduction, ravel)
+    mvp_vec = acc.make_acc_mvp(fns, config, params, mvp_data, reduction, ravel)
+
+    if M is None and precond_diag is not None:
+        M = diag_to_preconditioner(
+            precond_diag, state.damping, precond_exponent
+        )
+
+    def loss_at(delta):
+        return acc.acc_loss(fns, ravel.add(params, delta), loss_data, reduction)
+
+    return _step_core(
+        config,
+        ravel,
+        params,
+        state,
+        init_loss=init_loss,
+        grad_vec=grad_vec,
+        mvp_vec=mvp_vec,
+        loss_at=loss_at,
+        M=M,
+    )
+
+
+# --------------------------------------------------------------------------
+# Debug self-tests (reference optimizer.py:365-448, :817-926)
+# --------------------------------------------------------------------------
+
+
+def check_deterministic(
+    fns: HFModelFns,
+    config: HFConfig,
+    ravel: TrainableRavel,
+    params: Any,
+    batch: Any,
+    key: Optional[jax.Array] = None,
+) -> dict:
+    """Check that the forward pass and the curvature matvec are deterministic.
+
+    Analog of ``_test_forward_determinisitc`` / ``_test_mvp_deterministic``
+    (reference optimizer.py:365-448): each quantity is computed twice and
+    compared with ``allclose``.  Stochastic model components (e.g. dropout
+    consuming a captured RNG state, or nondeterministic data pipelines)
+    corrupt CG's fixed quadratic model; run this once in the first step.
+
+    Returns a dict of booleans instead of raising warnings (flags compose
+    with jit; warnings don't).
+    """
+    results = {}
+    loss1 = fns.full_loss(params, batch)
+    loss2 = fns.full_loss(params, batch)
+    results["forward_deterministic"] = bool(
+        jnp.allclose(loss1, loss2)
+    )
+    if fns.model_fn is not None:
+        inputs, _ = batch
+        out1 = fns.model_fn(params, inputs)
+        out2 = fns.model_fn(params, inputs)
+        results["outputs_deterministic"] = bool(jnp.allclose(out1, out2))
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    v = jax.random.normal(key, (ravel.dim,), ravel.dtype)
+    _, _, mvp = _build_matvec_and_grad(fns, config, ravel, params, batch)
+    results["mvp_deterministic"] = bool(jnp.allclose(mvp(v), mvp(v)))
+    return results
+
+
+def check_reduction(
+    fns: HFModelFns,
+    config: HFConfig,
+    ravel: TrainableRavel,
+    params: Any,
+    datalist,
+    reduction: str,
+    rtol: float = 1e-2,
+    atol: float = 1e-4,
+    key: Optional[jax.Array] = None,
+) -> None:
+    """Verify the user's claimed loss reduction ("mean"/"sum").
+
+    Analog of ``HessianFree.test_reduction`` (reference optimizer.py:817-926):
+    loss, gradient and matvec accumulated over the (>= 2-entry) datalist must
+    match the same quantities on the concatenated single batch within
+    RTOL=1e-2 / ATOL=1e-4 (reference optimizer.py:897-898); raises
+    ``RuntimeError`` on mismatch.
+    """
+    from . import accumulate as acc
+
+    chunks = acc._chunks(datalist)
+    if len(chunks) <= 1:
+        raise AssertionError(
+            "This test is only meaningful for a data list with at least two "
+            "entries."
+        )
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    v = jax.random.normal(key, (ravel.dim,), ravel.dtype)
+
+    a_loss = acc.acc_loss(fns, params, datalist, reduction)
+    a_grad = acc.acc_grad(fns, params, datalist, reduction, ravel)
+    a_mvp = acc.make_acc_mvp(fns, config, params, datalist, reduction, ravel)(v)
+
+    big = acc.concat_datalist(datalist)
+    r_loss, r_grad, r_mvp_fn = _build_matvec_and_grad(
+        fns, config, ravel, params, big
+    )
+    r_mvp = r_mvp_fn(v)
+
+    failures = []
+    for name, ref, got in [
+        ("loss values", r_loss, a_loss),
+        ("gradients", r_grad, a_grad),
+        ("mvps", r_mvp, a_mvp),
+    ]:
+        if not bool(jnp.allclose(got, ref, rtol=rtol, atol=atol)):
+            failures.append(name)
+    if failures:
+        raise RuntimeError(
+            f"Inconsistent results for reduction {reduction} "
+            f"(mismatched: {', '.join(failures)}). The loss function's "
+            "reduction does not match the declared one."
+        )
+
+
+# --------------------------------------------------------------------------
+# Stateful convenience wrapper
+# --------------------------------------------------------------------------
+
+
+class HessianFree:
+    """Stateful Hessian-free optimizer owning the parameter pytree.
+
+    Convenience wrapper around the functional core with the reference's
+    class-based ergonomics (reference optimizer.py:18-123): construct once,
+    call :meth:`step` / :meth:`acc_step` per batch; the eight per-step
+    history quantities (reference optimizer.py:186-192) accumulate in
+    ``self.history``; :meth:`state_dict` round-trips everything.
+
+    Args:
+        params: Initial parameter pytree.
+        model_fn / loss_outer: Split model form (``model_fn(params, inputs)``
+            and ``loss_outer(outputs, targets)``); required for GGN.
+        loss_fn: Direct form ``loss_fn(params, batch)`` (Hessian-only).
+        trainable: Optional boolean mask pytree (the analog of per-tensor
+            ``requires_grad``, reference optimizer.py:122).
+        config: :class:`HFConfig`; or pass its fields as keyword args.
+    """
+
+    def __init__(
+        self,
+        params: Any,
+        model_fn=None,
+        loss_outer=None,
+        loss_fn=None,
+        trainable=None,
+        config: Optional[HFConfig] = None,
+        **config_kwargs,
+    ):
+        if config is None:
+            config = HFConfig(**config_kwargs)
+        elif config_kwargs:
+            raise ValueError("Pass either config or keyword args, not both.")
+        self.config = config
+        self.fns = HFModelFns(
+            model_fn=model_fn, loss_outer=loss_outer, loss_fn=loss_fn
+        )
+        if config.curvature_opt == "ggn" and model_fn is None:
+            raise ValueError(
+                "curvature_opt='ggn' requires model_fn + loss_outer."
+            )
+        # Own a private copy: the jitted step donates the param/state buffers
+        # (in-place update in HBM), which must never invalidate arrays the
+        # caller still holds.
+        self.params = jax.tree_util.tree_map(jnp.array, params)
+        self.ravel = TrainableRavel(params, trainable)
+        self.state = init_state(self.ravel, config)
+        self._step = make_hf_step(self.fns, config, self.ravel, donate=True)
+        self.history = {
+            "init_losses": [],
+            "final_losses": [],
+            "dampings": [],
+            "cg_reasons": [],
+            "num_cg_iters": [],
+            "best_cg_iters": [],
+            "learning_rates": [],
+        }
+
+    # -- stepping ----------------------------------------------------------
+    def _record(self, stats: HFStats) -> float:
+        stats = jax.device_get(stats)
+        h = self.history
+        h["init_losses"].append(float(stats.init_loss))
+        h["final_losses"].append(float(stats.final_loss))
+        h["dampings"].append(float(stats.damping))
+        h["cg_reasons"].append(
+            cg_mod.CG_REASON_STRINGS[int(stats.cg_reason)]
+        )
+        h["num_cg_iters"].append(int(stats.num_cg_iters))
+        h["best_cg_iters"].append(int(stats.best_cg_iter))
+        h["learning_rates"].append(float(stats.lr))
+        self.last_stats = stats
+        return float(stats.final_loss)
+
+    def step(
+        self,
+        batch: Any,
+        precond_diag: Optional[jax.Array] = None,
+        test_deterministic: bool = False,
+    ) -> float:
+        """One update step on ``batch``; returns the final mini-batch loss
+        (reference optimizer.py:126-363)."""
+        if test_deterministic:
+            res = check_deterministic(
+                self.fns, self.config, self.ravel, self.params, batch
+            )
+            if not all(res.values()):
+                import warnings
+
+                warnings.warn(
+                    "Non-deterministic behaviour detected "
+                    f"({res}). CG's quadratic model assumes a fixed batch "
+                    "and deterministic model."
+                )
+        self.params, self.state, stats = self._step(
+            self.params, self.state, batch, precond_diag
+        )
+        return self._record(stats)
+
+    def acc_step(
+        self,
+        loss_data,
+        grad_data=None,
+        mvp_data=None,
+        reduction: str = "mean",
+        precond_diag: Optional[jax.Array] = None,
+        test_deterministic: bool = False,
+    ) -> float:
+        """Accumulated step over mini-batch datalists
+        (reference optimizer.py:519-606)."""
+        if test_deterministic:
+            from . import accumulate as acc
+
+            chunks = acc._chunks(loss_data)
+            res = check_deterministic(
+                self.fns, self.config, self.ravel, self.params, chunks[0]
+            )
+            if not all(res.values()):
+                import warnings
+
+                warnings.warn(f"Non-deterministic behaviour detected ({res}).")
+        self.params, self.state, stats = hf_acc_step(
+            self.params,
+            self.state,
+            fns=self.fns,
+            config=self.config,
+            ravel=self.ravel,
+            loss_data=loss_data,
+            grad_data=grad_data,
+            mvp_data=mvp_data,
+            reduction=reduction,
+            precond_diag=precond_diag,
+        )
+        return self._record(stats)
+
+    # -- preconditioning ----------------------------------------------------
+    def get_preconditioner(
+        self,
+        inputs: jax.Array,
+        targets: jax.Array,
+        reduction: str,
+        exponent: Optional[float] = None,
+        use_scan: bool = False,
+    ) -> jax.Array:
+        """Empirical-Fisher diagonal for this optimizer's model at the current
+        params.  Returns the diagonal (pass it to :meth:`step` as
+        ``precond_diag``); the ``(D + damping)^(-exponent)`` closure is built
+        inside the jitted step with the *live* damping.
+
+        Note: the reference's method of the same name drops its return value
+        and always yields ``None``, silently disabling preconditioning
+        (reference optimizer.py:943-952) -- fixed here.
+        """
+        fn = diag_EF_scan if use_scan else diag_EF
+        return fn(
+            self.fns.model_fn,
+            self.fns.loss_outer,
+            self.params,
+            inputs,
+            targets,
+            reduction,
+            self.ravel,
+        )
+
+    # -- self-tests ----------------------------------------------------------
+    def test_reduction(self, datalist, reduction: str) -> None:
+        """Raise if the loss function's reduction does not match ``reduction``
+        (reference optimizer.py:817-926)."""
+        check_reduction(
+            self.fns, self.config, self.ravel, self.params, datalist, reduction
+        )
+
+    def test_deterministic(self, batch) -> dict:
+        return check_deterministic(
+            self.fns, self.config, self.ravel, self.params, batch
+        )
+
+    # -- checkpointing -------------------------------------------------------
+    def state_dict(self) -> dict:
+        """Serializable snapshot: optimizer state pytree + history
+        (the analog of ``torch.optim.Optimizer.state_dict()``,
+        reference examples/run_small_nn.py:46-52)."""
+        return {
+            "state": jax.device_get(self.state)._asdict(),
+            "history": dict(self.history),
+            "step_count": int(self.state.step_count),
+        }
+
+    def load_state_dict(self, sd: dict) -> None:
+        s = sd["state"]
+        self.state = HFState(
+            x0=jnp.asarray(s["x0"]),
+            damping=jnp.asarray(s["damping"]),
+            step_count=jnp.asarray(s["step_count"], jnp.int32),
+        )
+        self.history.update(sd.get("history", {}))

@@ -1,0 +1,171 @@
+"""Data-parallel Hessian-free steps over a device mesh.
+
+TPU-native replacement for the capability the reference reaches via
+sequential accumulation (``acc_step``, reference optimizer.py:519-606) and
+which it explicitly lacks as a distributed backend (SURVEY.md 2.3: no
+NCCL/MPI/Gloo).  Gradient, loss and curvature-matvec accumulation are linear
+reductions, so they map onto mesh collectives:
+
+- **GSPMD path** (:func:`make_dp_hf_step`): jit the unchanged single-device
+  step with the batch sharded over the ``data`` axis and params/state
+  replicated.  XLA's SPMD partitioner inserts the per-matvec / per-gradient
+  ``psum``s over ICI automatically -- the idiomatic TPU formulation.
+- **shard_map path** (:func:`make_dp_hf_step_shardmap`): explicit per-device
+  residency -- the user loss functions are wrapped so every loss evaluation
+  becomes ``pmean``/``psum`` of the local-shard value, and the whole step
+  core runs replicated inside one ``shard_map``.  Same math, collectives
+  placed by hand; useful for verification and for controlling collective
+  granularity.
+
+Equivalence with the single-device step is the rebuild's analog of the
+reference's step == acc_step trajectory test
+(reference tests/test_optimizer_acc.py:124-175).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import HFConfig
+from ..optimizer import HFModelFns, hf_step
+from ..utils.flatten import TrainableRavel
+
+
+def make_dp_hf_step(
+    fns: HFModelFns,
+    config: HFConfig,
+    ravel: TrainableRavel,
+    mesh: Mesh,
+    axis_name: str = "data",
+    precond_exponent: float = 0.75,
+    donate: bool = False,
+):
+    """GSPMD data-parallel step: batch sharded, params/state replicated.
+
+    Returns ``step(params, state, batch, precond_diag=None)``.  The batch's
+    leading dimension must be divisible by the mesh ``data`` axis size.  All
+    collectives are derived by XLA from the sharding annotations.
+    """
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(axis_name))
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("use_precond",),
+        donate_argnums=(0, 1) if donate else (),
+        out_shardings=repl,
+    )
+    def _step(params, state, batch, precond_diag, use_precond):
+        return hf_step(
+            params,
+            state,
+            batch,
+            fns=fns,
+            config=config,
+            ravel=ravel,
+            precond_diag=precond_diag if use_precond else None,
+            precond_exponent=precond_exponent,
+        )
+
+    def step(params, state, batch, precond_diag=None):
+        params = jax.device_put(params, repl)
+        state = jax.device_put(state, repl)
+        batch = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, shard), batch
+        )
+        use_precond = precond_diag is not None
+        if precond_diag is None:
+            precond_diag = jnp.zeros((1,), ravel.dtype)
+        else:
+            precond_diag = jax.device_put(precond_diag, repl)
+        return _step(params, state, batch, precond_diag, use_precond)
+
+    return step
+
+
+def _dp_wrap_fns(
+    fns: HFModelFns, axis_name: str, reduction: str
+) -> HFModelFns:
+    """Wrap user loss fns so a per-shard evaluation yields the global value.
+
+    For ``reduction="mean"`` with equal shards, the global mean is the
+    ``pmean`` of local means; for ``"sum"`` it is the ``psum`` of local sums
+    -- exactly the weighted-sum semantics of the reference accumulator
+    (reference optimizer.py:678-684) with one chunk per device.
+    Differentiating through the collective produces the correct gradient and
+    curvature collectives automatically.
+    """
+    combine = (
+        functools.partial(jax.lax.pmean, axis_name=axis_name)
+        if reduction == "mean"
+        else functools.partial(jax.lax.psum, axis_name=axis_name)
+    )
+
+    if fns.loss_fn is not None:
+        def loss_fn(params, batch):
+            return combine(fns.loss_fn(params, batch))
+        return HFModelFns(loss_fn=loss_fn)
+
+    def loss_outer(outputs, targets):
+        return combine(fns.loss_outer(outputs, targets))
+
+    return HFModelFns(model_fn=fns.model_fn, loss_outer=loss_outer)
+
+
+def make_dp_hf_step_shardmap(
+    fns: HFModelFns,
+    config: HFConfig,
+    ravel: TrainableRavel,
+    mesh: Mesh,
+    axis_name: str = "data",
+    reduction: str = "mean",
+    precond_exponent: float = 0.75,
+):
+    """Explicit shard_map data-parallel step.
+
+    Each device holds a batch shard; params, optimizer state and the entire
+    CG solve are replicated (every device computes identical iterates, as the
+    collectives make all reduced quantities bitwise-identical across
+    devices).  The only cross-device traffic is one ``pmean``/``psum`` per
+    loss / gradient / curvature-matvec evaluation, riding ICI.
+    """
+    if reduction not in ("mean", "sum"):
+        raise ValueError(f"Invalid reduction {reduction}")
+    dp_fns = _dp_wrap_fns(fns, axis_name, reduction)
+
+    @functools.partial(
+        jax.jit, static_argnames=("use_precond",)
+    )
+    def step_jit(params, state, batch, precond_diag, use_precond):
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(), P(axis_name), P()),
+            out_specs=P(),
+        )
+        def inner(params, state, batch, precond_diag):
+            return hf_step(
+                params,
+                state,
+                batch,
+                fns=dp_fns,
+                config=config,
+                ravel=ravel,
+                precond_diag=precond_diag if use_precond else None,
+                precond_exponent=precond_exponent,
+            )
+
+        return inner(params, state, batch, precond_diag)
+
+    def step(params, state, batch, precond_diag=None):
+        use_precond = precond_diag is not None
+        if precond_diag is None:
+            precond_diag = jnp.zeros((1,), ravel.dtype)
+        return step_jit(params, state, batch, precond_diag, use_precond)
+
+    return step

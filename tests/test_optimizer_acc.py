@@ -1,0 +1,143 @@
+"""Accumulated-step tests.
+
+Ports reference tests/test_optimizer_acc.py: the reduction self-test must
+pass for the true reduction and raise for the wrong one (:81-109), and the
+``step`` / ``acc_step`` parameter trajectories must coincide (atol 1e-4) when
+acc_step runs on a chunked version of step's batch (:124-175) -- for both a
+single-chunk list and a ragged [7, 8] split, and additionally for the
+stacked/scan layout.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorchhessianfree_tpu import HessianFree
+from pytorchhessianfree_tpu.models.mlp import (
+    init_mlp,
+    mlp_apply,
+    mse_loss,
+    mse_loss_sum,
+)
+
+SEEDS = [0, 1, 42]
+CURV_OPTS = ["hessian", "ggn"]
+
+
+def _problem(seed, N=16, dtype=jnp.float64):
+    key = jax.random.PRNGKey(seed)
+    kp, kx, ky = jax.random.split(key, 3)
+    params = init_mlp(kp, dtype=dtype)
+    x = jax.random.normal(kx, (N, 7), dtype)
+    y = jax.random.normal(ky, (N, 3), dtype)
+    return params, x, y
+
+
+def _new_opt(params, curvature_opt, loss_outer=mse_loss):
+    return HessianFree(
+        params,
+        model_fn=mlp_apply,
+        loss_outer=loss_outer,
+        curvature_opt=curvature_opt,
+        damping=0.5,
+        cg_max_iter=50,
+    )
+
+
+def _params_allclose(p1, p2, atol):
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=atol)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+@pytest.mark.parametrize("reduction", ["mean", "sum"])
+def test_test_reduction(seed, reduction):
+    """Correct reduction passes; the wrong one raises RuntimeError
+    (reference tests/test_optimizer_acc.py:81-109)."""
+    params, x, y = _problem(seed)
+    loss_outer = mse_loss if reduction == "mean" else mse_loss_sum
+    opt = _new_opt(params, "ggn", loss_outer)
+
+    datalist = [(x[:7], y[:7]), (x[7:], y[7:])]
+    opt.test_reduction(datalist, reduction)
+
+    wrong = "sum" if reduction == "mean" else "mean"
+    with pytest.raises(RuntimeError):
+        opt.test_reduction(datalist, wrong)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+@pytest.mark.parametrize("curvature_opt", CURV_OPTS)
+@pytest.mark.parametrize("split", ["single", "ragged", "stacked"])
+def test_step_equals_acc_step(seed, curvature_opt, split):
+    """Two identical models -- one driven by step on the concatenated batch,
+    one by acc_step on the chunked datalist -- must follow the same parameter
+    trajectory for 3 steps within atol 1e-4
+    (reference tests/test_optimizer_acc.py:124-175, N_list [16] and [7, 8])."""
+    params, _, _ = _problem(seed)
+    opt_a = _new_opt(params, curvature_opt)
+    opt_b = _new_opt(params, curvature_opt)
+
+    for i in range(3):
+        _, x, y = _problem(seed * 100 + i + 1)
+        opt_a.step((x, y))
+
+        if split == "single":
+            datalist = [(x, y)]
+        elif split == "ragged":
+            datalist = [(x[:7], y[:7]), (x[7:], y[7:])]
+        else:  # stacked [2, 8, ...] chunks for the lax.scan path
+            datalist = (
+                x.reshape(2, 8, *x.shape[1:]),
+                y.reshape(2, 8, *y.shape[1:]),
+            )
+        opt_b.acc_step(datalist, reduction="mean")
+
+        _params_allclose(opt_a.params, opt_b.params, atol=1e-4)
+
+    # Stats histories must agree too (same trajectory => same diagnostics).
+    np.testing.assert_allclose(
+        opt_a.history["init_losses"], opt_b.history["init_losses"], atol=1e-6
+    )
+    assert opt_a.history["num_cg_iters"] == opt_b.history["num_cg_iters"]
+
+
+@pytest.mark.parametrize("seed", [0])
+def test_acc_step_independent_datalists(seed):
+    """grad/mvp datalists may differ from the loss datalist
+    (reference optimizer.py:554-559)."""
+    params, x, y = _problem(seed, N=24)
+    opt = _new_opt(params, "ggn")
+    loss_data = [(x[:8], y[:8]), (x[8:16], y[8:16]), (x[16:], y[16:])]
+    grad_data = [(x[:12], y[:12]), (x[12:], y[12:])]
+    mvp_data = [(x[:6], y[:6]), (x[6:12], y[6:12])]
+    final = opt.acc_step(
+        loss_data, grad_data=grad_data, mvp_data=mvp_data, reduction="mean"
+    )
+    assert np.isfinite(final)
+    assert int(opt.state.step_count) == 1
+
+
+@pytest.mark.parametrize("reduction", ["mean", "sum"])
+def test_acc_reduce_weighting(reduction):
+    """Ragged-chunk weighted-sum semantics: result = sum N_i r_i / sum N_i
+    for mean, plain sum for sum (reference optimizer.py:678-684)."""
+    from pytorchhessianfree_tpu import acc_reduce
+
+    data = [
+        (jnp.zeros((3, 1)), jnp.full((3,), 2.0)),
+        (jnp.zeros((5, 1)), jnp.full((5,), 10.0)),
+    ]
+
+    def eval_chunk(x, y):
+        # per-chunk mean (reduction=mean semantics of a loss fn)
+        return jnp.mean(y) if reduction == "mean" else jnp.sum(y)
+
+    out = float(acc_reduce(data, eval_chunk, reduction))
+    if reduction == "mean":
+        np.testing.assert_allclose(out, (3 * 2.0 + 5 * 10.0) / 8)
+    else:
+        np.testing.assert_allclose(out, 3 * 2.0 + 5 * 10.0)

@@ -1,0 +1,119 @@
+"""Driver benchmark: GGN matvec throughput on the flagship workload.
+
+Measures GGN-vector products/sec through ResNet-18 (1-channel MNIST stem,
+batch 32) -- the hot op of Hessian-free optimization (every CG iteration is
+one curvature matvec, reference cg.py:205) and the driver-assigned headline
+metric (BASELINE.json: "GGN matvecs/sec + wall-clock per HF step").
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+``vs_baseline`` is the speedup over the PyTorch-CPU baseline
+(benchmarks/torch_baseline.py -- a plain torch.func reimplementation of the
+same amortized-linearization GGN matvec, since the reference's BackPACK
+dependency is not installed here).  The CPU number is measured once and
+cached in BASELINE_MEASURED.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BATCH_SIZE = 32
+NUM_MATVECS = 100  # chained matvecs per timed call
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BASELINE_MEASURED.json")
+
+
+def measure_jax_matvecs_per_sec() -> float:
+    from pytorchhessianfree_tpu import TrainableRavel
+    from pytorchhessianfree_tpu.models import (
+        cross_entropy_loss,
+        init_resnet18,
+        resnet18_apply,
+    )
+    from pytorchhessianfree_tpu.ops.curvature import ggnvp_fn
+
+    key = jax.random.PRNGKey(0)
+    params = init_resnet18(key, num_classes=10, in_channels=1)
+    ravel = TrainableRavel(params)
+    kx, ky = jax.random.split(key)
+    x = jax.random.normal(kx, (BATCH_SIZE, 28, 28, 1), jnp.float32)
+    y = jax.random.randint(ky, (BATCH_SIZE,), 0, 10)
+
+    @jax.jit
+    def chain(params, x, y, v0):
+        """NUM_MATVECS chained, normalized GGN matvecs in one XLA program:
+        linearize once (amortized across the chain, like one HF step's CG
+        loop), then fori_loop the matvec."""
+        _, _, _, gv = ggnvp_fn(
+            lambda p: resnet18_apply(p, x),
+            lambda o: cross_entropy_loss(o, y),
+            params,
+        )
+
+        def body(_, v):
+            w = ravel.ravel(gv(ravel.unravel(v)))
+            return w / jnp.linalg.norm(w)
+
+        return jax.lax.fori_loop(0, NUM_MATVECS, body, v0)
+
+    def fresh_v(i):
+        v = jax.random.normal(jax.random.PRNGKey(100 + i), (ravel.dim,),
+                              jnp.float32)
+        return v / jnp.linalg.norm(v)
+
+    chain(params, x, y, fresh_v(0)).block_until_ready()  # compile + warmup
+    # Median of timed calls, each with a DISTINCT v0 (a repeated identical
+    # call can be served from a result cache by remote-execution relays,
+    # yielding microsecond-scale phantom timings).
+    times = []
+    for i in range(1, 4):
+        v0 = fresh_v(i)
+        t0 = time.perf_counter()
+        chain(params, x, y, v0).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return NUM_MATVECS / times[len(times) // 2]
+
+
+def torch_baseline_matvecs_per_sec() -> float:
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            cached = json.load(f)
+        if "torch_cpu_ggn_matvecs_per_sec" in cached:
+            return float(cached["torch_cpu_ggn_matvecs_per_sec"])
+    from benchmarks.torch_baseline import measure_ggn_matvecs_per_sec
+
+    rate = measure_ggn_matvecs_per_sec(batch_size=BATCH_SIZE, num_matvecs=3)
+    with open(CACHE, "w") as f:
+        json.dump(
+            {
+                "torch_cpu_ggn_matvecs_per_sec": rate,
+                "config": f"resnet18-mnist b{BATCH_SIZE} torch.func linearize",
+            },
+            f,
+            indent=1,
+        )
+    return rate
+
+
+if __name__ == "__main__":
+    rate = measure_jax_matvecs_per_sec()
+    baseline = torch_baseline_matvecs_per_sec()
+    print(
+        json.dumps(
+            {
+                "metric": "ggn_matvecs_per_sec_resnet18_mnist_b32",
+                "value": round(rate, 2),
+                "unit": "matvec/s",
+                "vs_baseline": round(rate / baseline, 2),
+            }
+        )
+    )

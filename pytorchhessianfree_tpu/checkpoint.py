@@ -1,0 +1,100 @@
+"""Checkpoint / resume.
+
+The reference has no checkpointing subsystem of its own; it inherits
+``torch.optim.Optimizer.state_dict()`` whose contents are the CG warm start,
+the history lists and the live adapted damping
+(reference optimizer.py:183-192, :495-497, demonstrated in
+examples/run_small_nn.py:46-52).  Here the optimizer state is an explicit
+:class:`HFState` pytree, so checkpointing is: save/restore
+``(params, state, history)``.  Two backends:
+
+- :func:`save` / :func:`restore`: Orbax (the production TPU checkpointing
+  path -- async-capable, multi-host aware, the idiomatic JAX choice);
+- :func:`save_npz` / :func:`restore_npz`: a dependency-free fallback using a
+  flat ``numpy.savez`` file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .optimizer import HFState
+
+
+def _to_saveable(params: Any, state: HFState, history: Optional[dict]):
+    return {
+        "params": params,
+        "state": state._asdict(),
+        "history": history or {},
+    }
+
+
+def save(path: str, params: Any, state: HFState, history: Optional[dict] = None):
+    """Orbax checkpoint of (params, optimizer state, history)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckpt = ocp.PyTreeCheckpointer()
+    ckpt.save(path, _to_saveable(jax.device_get(params), state, history),
+              force=True)
+
+
+def restore(path: str) -> Tuple[Any, HFState, dict]:
+    """Restore an Orbax checkpoint saved by :func:`save`."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckpt = ocp.PyTreeCheckpointer()
+    tree = ckpt.restore(path)
+    s = tree["state"]
+    state = HFState(
+        x0=jnp.asarray(s["x0"]),
+        damping=jnp.asarray(s["damping"]),
+        step_count=jnp.asarray(s["step_count"], jnp.int32),
+    )
+    return tree["params"], state, dict(tree.get("history", {}))
+
+
+def save_npz(path: str, params: Any, state: HFState,
+             history: Optional[dict] = None):
+    """Dependency-free checkpoint: flat npz + JSON-encoded structure."""
+    leaves, treedef = jax.tree_util.tree_flatten(jax.device_get(params))
+    arrays = {f"param_{i}": np.asarray(l) for i, l in enumerate(leaves)}
+    arrays["state_x0"] = np.asarray(state.x0)
+    arrays["state_damping"] = np.asarray(state.damping)
+    arrays["state_step_count"] = np.asarray(state.step_count)
+    meta = {
+        "treedef": str(treedef),
+        "num_leaves": len(leaves),
+        "history": history or {},
+    }
+    np.savez(path, __meta__=json.dumps(meta), **arrays)
+
+
+def restore_npz(path: str, params_template: Any) -> Tuple[Any, HFState, dict]:
+    """Restore an npz checkpoint; ``params_template`` supplies the pytree
+    structure (leaf order must match the saved one)."""
+    data = np.load(path, allow_pickle=False)
+    meta = json.loads(str(data["__meta__"]))
+    leaves, treedef = jax.tree_util.tree_flatten(params_template)
+    if meta["num_leaves"] != len(leaves):
+        raise ValueError(
+            f"Checkpoint has {meta['num_leaves']} leaves, template has "
+            f"{len(leaves)}."
+        )
+    new_leaves = [
+        jnp.asarray(data[f"param_{i}"]) for i in range(len(leaves))
+    ]
+    params = jax.tree_util.tree_unflatten(treedef, new_leaves)
+    state = HFState(
+        x0=jnp.asarray(data["state_x0"]),
+        damping=jnp.asarray(data["state_damping"]),
+        step_count=jnp.asarray(data["state_step_count"], jnp.int32),
+    )
+    return params, state, meta.get("history", {})

@@ -160,12 +160,16 @@ def _step_core(
 
     # Damped curvature matvec (reference optimizer.py:266).
     def A(v):
-        return mvp_vec(v) + damping * v
+        with jax.named_scope("hf_curvature_matvec"):
+            return mvp_vec(v) + damping * v
 
     # Only store initial + final solution unless backtracking wants the
     # automatic grid (reference optimizer.py:260-262).
     store = None if config.use_cg_backtracking else (0,)
 
+    # Named scopes annotate the phases in `jax.profiler` traces -- the
+    # structured replacement for the reference's verbose prints
+    # (reference cg.py:202-203, cg_backtracking.py:100-110, etc.).
     cgres = cg(
         A,
         -grad_vec,
@@ -190,11 +194,12 @@ def _step_core(
 
     # LM damping adaptation (reference optimizer.py:299-306).
     if config.adapt_damping:
-        f_0 = loss_at(state.x0)  # loss at x_iters[0] = the warm start
-        f_step = loss_at(cgres.x)
-        rho, new_damping = _adapt_damping(
-            config, damping, f_0, f_step, cgres.m_hist[0], cgres.m_final
-        )
+        with jax.named_scope("hf_adapt_damping"):
+            f_0 = loss_at(state.x0)  # loss at x_iters[0] = the warm start
+            f_step = loss_at(cgres.x)
+            rho, new_damping = _adapt_damping(
+                config, damping, f_0, f_step, cgres.m_hist[0], cgres.m_final
+            )
         rho_negative = rho < 0
     else:
         rho = jnp.asarray(jnp.nan, grad_vec.dtype)
@@ -203,9 +208,10 @@ def _step_core(
 
     # CG-backtracking (reference optimizer.py:311-318).
     if config.use_cg_backtracking:
-        bt = cg_efficient_backtracking(
-            loss_at, cgres, mode=config.backtracking_mode
-        )
+        with jax.named_scope("hf_cg_backtracking"):
+            bt = cg_efficient_backtracking(
+                loss_at, cgres, mode=config.backtracking_mode
+            )
         step_vec = bt.step
         best_cg_iter = bt.best_iter
     else:
@@ -214,7 +220,8 @@ def _step_core(
 
     # Line search (reference optimizer.py:323-340).
     if config.use_linesearch:
-        ls = simple_linesearch(
+        with jax.named_scope("hf_linesearch"):
+            ls = simple_linesearch(
             loss_at,
             grad_vec,
             step_vec,

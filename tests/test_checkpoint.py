@@ -1,0 +1,88 @@
+"""Checkpoint/resume round-trips (SURVEY.md aux subsystem: checkpointing).
+
+The restored (params, HFState, history) must continue training identically --
+the pytree-state analog of the reference's inherited
+``torch.optim.Optimizer.state_dict()`` round-trip
+(reference examples/run_small_nn.py:46-52)."""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorchhessianfree_tpu import (
+    HFConfig,
+    HFModelFns,
+    TrainableRavel,
+    init_state,
+    make_hf_step,
+)
+from pytorchhessianfree_tpu.checkpoint import (
+    restore,
+    restore_npz,
+    save,
+    save_npz,
+)
+from pytorchhessianfree_tpu.models import init_mlp, mlp_apply, mse_loss
+
+
+def _setup():
+    key = jax.random.PRNGKey(0)
+    params = init_mlp(key, dtype=jnp.float64)
+    fns = HFModelFns(model_fn=mlp_apply, loss_outer=mse_loss)
+    config = HFConfig(damping=0.5, cg_max_iter=30)
+    ravel = TrainableRavel(params)
+    step = make_hf_step(fns, config, ravel)
+    x = jax.random.normal(key, (16, 7), jnp.float64)
+    y = jax.random.normal(key, (16, 3), jnp.float64)
+    return params, config, ravel, step, (x, y)
+
+
+@pytest.mark.parametrize("backend", ["npz", "orbax"])
+def test_checkpoint_roundtrip_continues_identically(backend):
+    params, config, ravel, step, batch = _setup()
+    state = init_state(ravel, config)
+
+    # two steps, checkpoint, two more
+    for _ in range(2):
+        params, state, _ = step(params, state, batch)
+
+    with tempfile.TemporaryDirectory() as d:
+        hist = {"init_losses": [1.0, 0.5]}
+        if backend == "npz":
+            path = os.path.join(d, "ckpt.npz")
+            save_npz(path, params, state, hist)
+            r_params, r_state, r_hist = restore_npz(path, params)
+        else:
+            path = os.path.join(d, "ckpt")
+            save(path, params, state, hist)
+            r_params, r_state, r_hist = restore(path)
+
+    assert r_hist["init_losses"] == [1.0, 0.5]
+    assert int(r_state.step_count) == 2
+    np.testing.assert_array_equal(
+        np.asarray(r_state.x0), np.asarray(state.x0)
+    )
+
+    # Continuation must be bit-identical.
+    p1, s1, stats1 = step(params, state, batch)
+    p2, s2, stats2 = step(r_params, r_state, batch)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(stats1.final_loss) == float(stats2.final_loss)
+
+
+def test_npz_leaf_count_mismatch():
+    params, config, ravel, step, batch = _setup()
+    state = init_state(ravel, config)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ckpt.npz")
+        save_npz(path, params, state)
+        bad_template = {"only": jnp.zeros(3)}
+        with pytest.raises(ValueError):
+            restore_npz(path, bad_template)

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BATCH_SIZE = 32
-NUM_MATVECS = 100  # chained matvecs per timed call
+NUM_MATVECS = 50  # chained matvecs per timed call
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "BASELINE_MEASURED.json")
 
@@ -69,15 +69,18 @@ def measure_jax_matvecs_per_sec() -> float:
                               jnp.float32)
         return v / jnp.linalg.norm(v)
 
-    chain(params, x, y, fresh_v(0)).block_until_ready()  # compile + warmup
-    # Median of timed calls, each with a DISTINCT v0 (a repeated identical
-    # call can be served from a result cache by remote-execution relays,
-    # yielding microsecond-scale phantom timings).
+    float(chain(params, x, y, fresh_v(0))[0])  # compile + warmup
+    # Median of timed calls, each with a DISTINCT v0, each forced to
+    # completion by a host transfer of a result element (block_until_ready
+    # alone has been observed to return early through remote-execution
+    # relays, yielding microsecond-scale phantom timings).
     times = []
     for i in range(1, 4):
         v0 = fresh_v(i)
+        jax.block_until_ready(v0)
         t0 = time.perf_counter()
-        chain(params, x, y, v0).block_until_ready()
+        out = chain(params, x, y, v0)
+        _ = float(out[0])
         times.append(time.perf_counter() - t0)
     times.sort()
     return NUM_MATVECS / times[len(times) // 2]

@@ -40,6 +40,10 @@ class CGConfig:
     # "ignore" keeps non-positive directional curvature, "saddle-free" takes
     # its absolute value (reference cg.py:123-147).
     nonpos_curv_option: str = "ignore"
+    # Fuse the CG iterate update (two AXPYs + both reductions) into one
+    # HBM pass via a Pallas kernel (ops/pallas_kernels.py).  Opt-in: the
+    # matvec dominates per-iteration cost for large models.
+    use_fused_kernel: bool = False
 
     def __post_init__(self):
         if self.grid_gamma < 1.0:

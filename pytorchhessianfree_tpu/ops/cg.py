@@ -110,6 +110,7 @@ def cg(
     martens_threshold: float = 5e-4,
     martens_min_window: int = 10,
     nonpos_curv_option: str = "ignore",
+    use_fused_kernel: bool = False,
 ) -> CGResult:
     """Preconditioned CG for ``A x = b`` with Hessian-free modifications.
 
@@ -192,7 +193,24 @@ def cg(
         else:
             pAp = pAp_raw
         alpha = ry_old / pAp
-        x_new = x + alpha * p
+
+        if use_fused_kernel:
+            # Single-HBM-pass fused AXPYs + reductions (Pallas kernel;
+            # interpreted off-TPU so numerics tests stay platform-agnostic).
+            from .pallas_kernels import fused_cg_update
+
+            x_new, r_new, m, rr = fused_cg_update(
+                x, r, p, Ap, b, alpha,
+                interpret=jax.default_backend() != "tpu",
+            )
+            res_norm = jnp.sqrt(rr)
+        else:
+            x_new = x + alpha * p
+            r_new = r + alpha * Ap
+            # Quadratic value m(x) tracked as 0.5 (r - b) . x
+            # (reference cg.py:97).
+            m = 0.5 * jnp.vdot(r_new - b, x_new)
+            res_norm = jnp.linalg.norm(r_new)
 
         # Scatter the iterate into its grid slot, if any (reference cg.py:209-210).
         if G:
@@ -201,13 +219,7 @@ def cg(
             row = jnp.where(slot >= 0, x_new, x_buf[safe])
             x_buf = x_buf.at[safe].set(row)
 
-        r_new = r + alpha * Ap
-
-        # Quadratic value m(x) tracked as 0.5 (r - b) . x (reference cg.py:97).
-        m = 0.5 * jnp.vdot(r_new - b, x_new)
         m_hist = m_hist.at[it].set(m)
-
-        res_norm = jnp.linalg.norm(r_new)
 
         # Termination tests, in reference priority order (reference cg.py:96-118).
         if martens_conv_crit:

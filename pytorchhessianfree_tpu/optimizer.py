@@ -186,6 +186,7 @@ def _step_core(
         martens_threshold=config.cg.martens_threshold,
         martens_min_window=config.cg.martens_min_window,
         nonpos_curv_option=config.cg.nonpos_curv_option,
+        use_fused_kernel=config.cg.use_fused_kernel,
     )
 
     # Warm start for the next step: decayed *final* (not backtracked) iterate

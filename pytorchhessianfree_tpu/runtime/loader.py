@@ -1,0 +1,161 @@
+"""ctypes bindings for the native prefetching batch loader.
+
+The C++ batcher (runtime/src/batcher.cpp) assembles shuffled mini-batches on
+background threads into a ring of buffers; Python's ``next()`` is one memcpy.
+The shared library is compiled on first use with g++ and cached next to the
+source (no pybind11 needed -- plain C ABI via ctypes).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "src", "batcher.cpp")
+_LIB = os.path.join(os.path.dirname(__file__), "src", "libhfbatcher.so")
+_lock = threading.Lock()
+_lib = None
+
+
+def _build_lib() -> str:
+    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(
+        _SRC
+    ):
+        cmd = [
+            "g++",
+            "-O3",
+            "-std=c++17",
+            "-fPIC",
+            "-shared",
+            "-pthread",
+            _SRC,
+            "-o",
+            _LIB,
+        ]
+        subprocess.run(cmd, check=True, capture_output=True)
+    return _LIB
+
+
+def _load():
+    global _lib
+    with _lock:
+        if _lib is None:
+            lib = ctypes.CDLL(_build_lib())
+            lib.hfb_create.restype = ctypes.c_void_p
+            lib.hfb_create.argtypes = [
+                ctypes.c_void_p,  # inputs
+                ctypes.c_void_p,  # targets
+                ctypes.c_int64,  # n
+                ctypes.c_int64,  # in_elems
+                ctypes.c_int64,  # tgt_elems
+                ctypes.c_int64,  # batch
+                ctypes.c_uint64,  # seed
+                ctypes.c_int32,  # depth
+                ctypes.c_int32,  # n_threads
+                ctypes.c_int32,  # drop_last
+            ]
+            lib.hfb_next.restype = ctypes.c_int64
+            lib.hfb_next.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+            ]
+            lib.hfb_batches_per_epoch.restype = ctypes.c_int64
+            lib.hfb_batches_per_epoch.argtypes = [ctypes.c_void_p]
+            lib.hfb_destroy.argtypes = [ctypes.c_void_p]
+            _lib = lib
+    return _lib
+
+
+class PrefetchLoader:
+    """Threaded, shuffled, prefetching mini-batch iterator.
+
+    Args:
+        inputs: [N, ...] float32 array (any trailing shape).
+        targets: [N, ...] float32 array.  Integer labels should be passed as
+            float32 and cast back after ``next_batch`` (``labels_as_int``
+            does this automatically).
+        batch_size: rows per batch.
+        seed: shuffle seed (deterministic epochs).
+        depth: ring-buffer depth (batches prefetched ahead).
+        num_threads: producer threads.
+        drop_last: drop the ragged final batch; otherwise it is padded by
+            repeating the last sample (keeps shapes static for jit).
+    """
+
+    def __init__(
+        self,
+        inputs: np.ndarray,
+        targets: np.ndarray,
+        batch_size: int,
+        seed: int = 0,
+        depth: int = 4,
+        num_threads: int = 2,
+        drop_last: bool = True,
+        labels_as_int: bool = False,
+    ):
+        lib = _load()
+        self._lib = lib
+        self._inputs = np.ascontiguousarray(inputs, dtype=np.float32)
+        self._targets = np.ascontiguousarray(targets, dtype=np.float32)
+        n = self._inputs.shape[0]
+        if self._targets.shape[0] != n:
+            raise ValueError("inputs/targets row mismatch")
+        self._in_shape = self._inputs.shape[1:]
+        self._tgt_shape = self._targets.shape[1:]
+        in_elems = int(np.prod(self._in_shape)) if self._in_shape else 1
+        tgt_elems = int(np.prod(self._tgt_shape)) if self._tgt_shape else 1
+        self.batch_size = batch_size
+        self.labels_as_int = labels_as_int
+
+        self._h = lib.hfb_create(
+            self._inputs.ctypes.data_as(ctypes.c_void_p),
+            self._targets.ctypes.data_as(ctypes.c_void_p),
+            n,
+            in_elems,
+            tgt_elems,
+            batch_size,
+            seed,
+            depth,
+            num_threads,
+            1 if drop_last else 0,
+        )
+        if not self._h:
+            raise ValueError("invalid PrefetchLoader configuration")
+        self.batches_per_epoch = int(lib.hfb_batches_per_epoch(self._h))
+        self._bx = np.empty((batch_size,) + self._in_shape, np.float32)
+        self._by = np.empty((batch_size,) + self._tgt_shape, np.float32)
+
+    def next_batch(self) -> Tuple[np.ndarray, np.ndarray]:
+        self._lib.hfb_next(
+            self._h,
+            self._bx.ctypes.data_as(ctypes.c_void_p),
+            self._by.ctypes.data_as(ctypes.c_void_p),
+        )
+        x = self._bx.copy()
+        y = self._by.copy()
+        if self.labels_as_int:
+            y = y.astype(np.int32)
+        return x, y
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return self.next_batch()
+
+    def close(self):
+        if getattr(self, "_h", None):
+            self._lib.hfb_destroy(self._h)
+            self._h = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -1,0 +1,82 @@
+"""Native prefetch loader tests: build, determinism, epoch coverage."""
+
+import numpy as np
+import pytest
+
+from pytorchhessianfree_tpu.runtime import PrefetchLoader
+
+
+def _dataset(n=64, d=5):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    # encode the sample index in the target so coverage can be checked
+    y = np.arange(n, dtype=np.float32).reshape(n, 1)
+    return x, y
+
+
+def test_shapes_and_epoch_coverage():
+    x, y = _dataset(n=64)
+    loader = PrefetchLoader(x, y, batch_size=16, seed=7)
+    assert loader.batches_per_epoch == 4
+
+    seen = []
+    for _ in range(loader.batches_per_epoch):
+        bx, by = loader.next_batch()
+        assert bx.shape == (16, 5)
+        assert by.shape == (16, 1)
+        seen.extend(int(v) for v in by[:, 0])
+    # one epoch = exactly one visit per sample, in shuffled order
+    assert sorted(seen) == list(range(64))
+    assert seen != list(range(64)), "batches were not shuffled"
+    # batch rows carry the matching inputs
+    np.testing.assert_array_equal(bx[0], x[int(by[0, 0])])
+    loader.close()
+
+
+def test_deterministic_given_seed():
+    x, y = _dataset()
+    a = PrefetchLoader(x, y, batch_size=8, seed=123)
+    b = PrefetchLoader(x, y, batch_size=8, seed=123)
+    for _ in range(10):
+        xa, ya = a.next_batch()
+        xb, yb = b.next_batch()
+        np.testing.assert_array_equal(xa, xb)
+        np.testing.assert_array_equal(ya, yb)
+    a.close()
+    b.close()
+
+
+def test_epochs_reshuffle():
+    x, y = _dataset(n=32)
+    loader = PrefetchLoader(x, y, batch_size=8, seed=1)
+    e1 = [
+        int(v)
+        for _ in range(4)
+        for v in loader.next_batch()[1][:, 0]
+    ]
+    e2 = [
+        int(v)
+        for _ in range(4)
+        for v in loader.next_batch()[1][:, 0]
+    ]
+    assert sorted(e1) == sorted(e2) == list(range(32))
+    assert e1 != e2, "epoch 2 must be reshuffled"
+    loader.close()
+
+
+def test_invalid_config_raises():
+    x, y = _dataset(n=8)
+    with pytest.raises(ValueError):
+        PrefetchLoader(x, y, batch_size=16)  # batch > n
+    with pytest.raises(ValueError):
+        PrefetchLoader(x, y[:4], batch_size=2)  # row mismatch
+
+
+def test_labels_as_int():
+    x, y = _dataset(n=16)
+    loader = PrefetchLoader(
+        x, y, batch_size=4, seed=0, labels_as_int=True
+    )
+    _, by = loader.next_batch()
+    assert by.dtype == np.int32
+    loader.close()

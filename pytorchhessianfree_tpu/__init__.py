@@ -26,6 +26,7 @@ from .ops.select import (
     cg_efficient_backtracking,
     simple_linesearch,
 )
+from . import checkpoint
 from .accumulate import acc_grad, acc_loss, acc_reduce, make_acc_mvp
 from .optimizer import (
     HessianFree,
@@ -37,6 +38,7 @@ from .optimizer import (
     hf_acc_step,
     hf_step,
     init_state,
+    make_hf_acc_step,
     make_hf_step,
 )
 from .utils.flatten import TrainableRavel
@@ -69,9 +71,11 @@ __all__ = [
     "HFStats",
     "check_deterministic",
     "check_reduction",
+    "checkpoint",
     "hf_acc_step",
     "hf_step",
     "init_state",
+    "make_hf_acc_step",
     "make_hf_step",
     "acc_grad",
     "acc_loss",

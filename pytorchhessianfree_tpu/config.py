@@ -104,6 +104,12 @@ class HFConfig:
     # "batched" evaluates all stored iterates in one vmapped sweep and then
     # applies the identical reverse-walk selection rule on-device.
     backtracking_mode: str = "sequential"
+    # Optional reduced-precision dtype (e.g. "bfloat16") for the curvature
+    # matvec ONLY: the model is cast for the per-CG-iteration Gv/Hv products
+    # (MXU-friendly), while the loss, gradient (CG right-hand side) and all
+    # CG vector arithmetic stay in the parameter dtype.  CG tolerates modest
+    # matvec noise (the damping absorbs it); None = full precision.
+    curvature_dtype: Optional[str] = None
     cg: CGConfig = dataclasses.field(default_factory=CGConfig)
     linesearch: LineSearchConfig = dataclasses.field(
         default_factory=LineSearchConfig

@@ -279,7 +279,25 @@ def _build_matvec_and_grad(
     matvec closures (reference optimizer.py:230-247): the GGN path linearizes
     the model once per batch and reuses the linearization for every CG
     matvec; the Hessian path uses forward-over-reverse per matvec.
+
+    When ``config.curvature_dtype`` is set, the matvec runs through a
+    reduced-precision cast of the model (bf16 on the MXU) while the loss and
+    gradient stay full precision.
     """
+    cdtype = (
+        jnp.dtype(config.curvature_dtype)
+        if config.curvature_dtype is not None
+        else None
+    )
+
+    def cast(tree, dtype):
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(dtype)
+            if jnp.issubdtype(jnp.result_type(a), jnp.floating)
+            else a,
+            tree,
+        )
+
     if config.curvature_opt == "ggn":
         if fns.model_fn is None or fns.loss_outer is None:
             raise ValueError(
@@ -296,6 +314,18 @@ def _build_matvec_and_grad(
             return fns.loss_outer(out, targets)
 
         loss, _outputs, grad_tree, mvp_tree = ggnvp_fn(model_at, outer, params)
+
+        if cdtype is not None:
+            lp_inputs = cast(inputs, cdtype)
+
+            def lp_model_at(p):
+                # cast outputs back so the loss Hessian stays full precision
+                out = fns.model_fn(p, lp_inputs)
+                return cast(out, ravel.dtype)
+
+            _, _lp_out, _lp_grad, mvp_tree = ggnvp_fn(
+                lp_model_at, outer, cast(params, cdtype)
+            )
     else:
 
         def loss_of(p):
@@ -303,10 +333,26 @@ def _build_matvec_and_grad(
 
         loss, grad_tree, mvp_tree = hvp_fn(loss_of, params)
 
+        if cdtype is not None:
+            lp_batch = cast(batch, cdtype)
+
+            def lp_loss_of(p):
+                return fns.full_loss(p, lp_batch).astype(ravel.dtype)
+
+            _, _, mvp_tree = hvp_fn(lp_loss_of, cast(params, cdtype))
+
     grad_vec = ravel.ravel(grad_tree)
 
-    def mvp_vec(v):
-        return ravel.ravel(mvp_tree(ravel.unravel(v)))
+    if cdtype is None:
+
+        def mvp_vec(v):
+            return ravel.ravel(mvp_tree(ravel.unravel(v)))
+
+    else:
+
+        def mvp_vec(v):
+            tangent = cast(ravel.unravel(v), cdtype)
+            return ravel.ravel(mvp_tree(tangent))
 
     return loss, grad_vec, mvp_vec
 
@@ -467,6 +513,52 @@ def hf_acc_step(
     )
 
 
+def make_hf_acc_step(
+    fns: HFModelFns,
+    config: HFConfig,
+    ravel: TrainableRavel,
+    reduction: str = "mean",
+    precond_exponent: float = 0.75,
+):
+    """Jit-compile the accumulated step (one XLA program per datalist
+    structure/shape; re-invocations with same-shaped chunks hit the cache).
+
+    Returns ``step(params, state, loss_data, grad_data=None, mvp_data=None,
+    precond_diag=None)``.
+    """
+
+    @functools.partial(jax.jit, static_argnames=("use_precond",))
+    def _step(params, state, loss_data, grad_data, mvp_data, precond_diag,
+              use_precond):
+        return hf_acc_step(
+            params,
+            state,
+            fns=fns,
+            config=config,
+            ravel=ravel,
+            loss_data=loss_data,
+            grad_data=grad_data,
+            mvp_data=mvp_data,
+            reduction=reduction,
+            precond_diag=precond_diag if use_precond else None,
+            precond_exponent=precond_exponent,
+        )
+
+    def step(params, state, loss_data, grad_data=None, mvp_data=None,
+             precond_diag=None):
+        if grad_data is None:
+            grad_data = loss_data
+        if mvp_data is None:
+            mvp_data = loss_data
+        use_precond = precond_diag is not None
+        if precond_diag is None:
+            precond_diag = jnp.zeros((1,), ravel.dtype)
+        return _step(params, state, loss_data, grad_data, mvp_data,
+                     precond_diag, use_precond)
+
+    return step
+
+
 # --------------------------------------------------------------------------
 # Debug self-tests (reference optimizer.py:365-448, :817-926)
 # --------------------------------------------------------------------------
@@ -622,6 +714,7 @@ class HessianFree:
         self.ravel = TrainableRavel(params, trainable)
         self.state = init_state(self.ravel, config)
         self._step = make_hf_step(self.fns, config, self.ravel, donate=True)
+        self._acc_steps = {}  # jitted acc steps, keyed by reduction
         self.history = {
             "init_losses": [],
             "final_losses": [],
@@ -695,16 +788,16 @@ class HessianFree:
                 import warnings
 
                 warnings.warn(f"Non-deterministic behaviour detected ({res}).")
-        self.params, self.state, stats = hf_acc_step(
+        if reduction not in self._acc_steps:
+            self._acc_steps[reduction] = make_hf_acc_step(
+                self.fns, self.config, self.ravel, reduction
+            )
+        self.params, self.state, stats = self._acc_steps[reduction](
             self.params,
             self.state,
-            fns=self.fns,
-            config=self.config,
-            ravel=self.ravel,
-            loss_data=loss_data,
+            loss_data,
             grad_data=grad_data,
             mvp_data=mvp_data,
-            reduction=reduction,
             precond_diag=precond_diag,
         )
         return self._record(stats)

@@ -40,6 +40,7 @@ from .optimizer import (
     init_state,
     make_hf_acc_step,
     make_hf_step,
+    make_hf_train_loop,
 )
 from .utils.flatten import TrainableRavel
 
@@ -77,6 +78,7 @@ __all__ = [
     "init_state",
     "make_hf_acc_step",
     "make_hf_step",
+    "make_hf_train_loop",
     "acc_grad",
     "acc_loss",
     "acc_reduce",

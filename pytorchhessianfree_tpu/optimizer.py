@@ -454,6 +454,46 @@ def make_hf_step(
     return step
 
 
+def make_hf_train_loop(
+    fns: HFModelFns,
+    config: HFConfig,
+    ravel: TrainableRavel,
+    precond_exponent: float = 0.75,
+    donate: bool = False,
+):
+    """Multi-step training as ONE compiled program: ``lax.scan`` over
+    optimizer steps.
+
+    TPU-native capability with no reference analog (its training loops are
+    Python-side): ``loop(params, state, batches)`` consumes a stacked batch
+    pytree with a leading steps axis and runs every HF step on-device,
+    returning stacked per-step :class:`HFStats`.  Host involvement per epoch:
+    one dispatch.
+    """
+
+    @functools.partial(
+        jax.jit, donate_argnums=(0, 1) if donate else ()
+    )
+    def loop(params, state, batches):
+        def body(carry, batch):
+            p, s = carry
+            p, s, stats = hf_step(
+                p,
+                s,
+                batch,
+                fns=fns,
+                config=config,
+                ravel=ravel,
+                precond_exponent=precond_exponent,
+            )
+            return (p, s), stats
+
+        (params, state), stats = jax.lax.scan(body, (params, state), batches)
+        return params, state, stats
+
+    return loop
+
+
 def hf_acc_step(
     params: Any,
     state: HFState,

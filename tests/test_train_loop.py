@@ -1,0 +1,48 @@
+"""On-device multi-step training loop (lax.scan over HF steps)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pytorchhessianfree_tpu import (
+    HFConfig,
+    HFModelFns,
+    TrainableRavel,
+    init_state,
+    make_hf_step,
+    make_hf_train_loop,
+)
+from pytorchhessianfree_tpu.models import init_mlp, mlp_apply, mse_loss
+
+
+def test_train_loop_matches_stepwise():
+    """scan-of-steps must produce the same trajectory as Python-looped
+    steps (same batches, same state threading)."""
+    key = jax.random.PRNGKey(0)
+    params = init_mlp(key, dtype=jnp.float64)
+    fns = HFModelFns(model_fn=mlp_apply, loss_outer=mse_loss)
+    config = HFConfig(damping=0.5, cg_max_iter=25)
+    ravel = TrainableRavel(params)
+
+    xs = jax.random.normal(key, (4, 16, 7), jnp.float64)
+    ys = jax.random.normal(key, (4, 16, 3), jnp.float64)
+
+    loop = make_hf_train_loop(fns, config, ravel)
+    p_loop, s_loop, stats = loop(params, init_state(ravel, config), (xs, ys))
+
+    step = make_hf_step(fns, config, ravel)
+    p, s = params, init_state(ravel, config)
+    losses = []
+    for i in range(4):
+        p, s, st = step(p, s, (xs[i], ys[i]))
+        losses.append(float(st.init_loss))
+
+    np.testing.assert_allclose(
+        np.asarray(stats.init_loss), np.asarray(losses), rtol=1e-9
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_loop), jax.tree_util.tree_leaves(p)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-9)
+    assert int(s_loop.step_count) == 4
+    assert stats.num_cg_iters.shape == (4,)

@@ -139,13 +139,40 @@ def make_acc_mvp(
     data: Datalist,
     reduction: str,
     ravel: TrainableRavel,
+    amortize: bool = False,
 ) -> Callable[[jax.Array], jax.Array]:
     """Accumulated curvature matvec (reference optimizer.py:767-814).
 
-    Every call re-derives the chunk curvature products (fresh linearization
-    per chunk), exactly like the reference's per-CG-iteration
-    forward+backward per mini-batch.
+    Default (``amortize=False``): every call re-derives the chunk curvature
+    products (fresh linearization per chunk), exactly like the reference's
+    per-CG-iteration forward+backward per mini-batch -- O(chunk) memory.
+
+    ``amortize=True`` (GGN + stacked data only): linearize the whole-datalist
+    model ONCE and reuse it for every CG iteration -- the multi-chunk analog
+    of the single-batch graph reuse (reference optimizer.py:231-233).  Trades
+    residual memory for a large per-iteration saving; something the
+    reference's autograd design cannot express across batches.
     """
+    if amortize and config.curvature_opt == "ggn" and _is_stacked(data):
+        xs, ys = data
+        C = ys.shape[0]
+        w = 1.0 / C if reduction == "mean" else 1.0
+
+        def total_model(p):
+            # one scanned forward over all chunks; linearize stores the
+            # per-chunk residuals once
+            return jax.lax.map(lambda x: fns.model_fn(p, x), xs)
+
+        def total_outer(stacked_out):
+            losses = jax.vmap(fns.loss_outer)(stacked_out, ys)
+            return w * jnp.sum(losses)
+
+        _, _, _, gv = ggnvp_fn(total_model, total_outer, params)
+
+        def mvp_amortized(v: jax.Array) -> jax.Array:
+            return ravel.ravel(gv(ravel.unravel(v)))
+
+        return mvp_amortized
 
     def mvp(v: jax.Array) -> jax.Array:
         tangent = ravel.unravel(v)

@@ -32,13 +32,19 @@ def _conv_init(key, kh, kw, cin, cout, dtype):
 
 
 def conv(x: jax.Array, w: jax.Array, stride: int = 1, padding="SAME"):
+    # For f32 operands, request an f32 output explicitly.  For reduced
+    # precision (bf16) leave preferred_element_type unset: the TPU MXU
+    # accumulates bf16 products in f32 internally either way, and a mixed
+    # f32-output/bf16-operand conv has no valid transpose (its VJP would
+    # pair a bf16 primal with an f32 cotangent).
+    pet = jnp.float32 if x.dtype == jnp.float32 else None
     return jax.lax.conv_general_dilated(
         x,
         w,
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=pet,
     ).astype(x.dtype)
 
 

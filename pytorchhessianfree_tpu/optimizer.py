@@ -508,6 +508,7 @@ def hf_acc_step(
     M: Optional[Callable[[jax.Array], jax.Array]] = None,
     precond_diag: Optional[jax.Array] = None,
     precond_exponent: float = 0.75,
+    mvp_amortize: bool = False,
 ) -> Tuple[Any, HFState, HFStats]:
     """Accumulated Hessian-free step -- the functional analog of
     ``HessianFree.acc_step`` (reference optimizer.py:519-606).
@@ -530,7 +531,10 @@ def hf_acc_step(
 
     init_loss = acc.acc_loss(fns, params, loss_data, reduction)
     grad_vec = acc.acc_grad(fns, params, grad_data, reduction, ravel)
-    mvp_vec = acc.make_acc_mvp(fns, config, params, mvp_data, reduction, ravel)
+    mvp_vec = acc.make_acc_mvp(
+        fns, config, params, mvp_data, reduction, ravel,
+        amortize=mvp_amortize,
+    )
 
     if M is None and precond_diag is not None:
         M = diag_to_preconditioner(
@@ -559,6 +563,7 @@ def make_hf_acc_step(
     ravel: TrainableRavel,
     reduction: str = "mean",
     precond_exponent: float = 0.75,
+    mvp_amortize: bool = False,
 ):
     """Jit-compile the accumulated step (one XLA program per datalist
     structure/shape; re-invocations with same-shaped chunks hit the cache).
@@ -582,6 +587,7 @@ def make_hf_acc_step(
             reduction=reduction,
             precond_diag=precond_diag if use_precond else None,
             precond_exponent=precond_exponent,
+            mvp_amortize=mvp_amortize,
         )
 
     def step(params, state, loss_data, grad_data=None, mvp_data=None,

@@ -122,6 +122,31 @@ def test_acc_step_independent_datalists(seed):
 
 
 @pytest.mark.parametrize("reduction", ["mean", "sum"])
+def test_amortized_acc_mvp_matches_per_chunk(reduction):
+    """amortize=True (one linearization across all chunks) must equal the
+    per-chunk re-linearized matvec to fp round-off."""
+    from pytorchhessianfree_tpu import HFConfig, HFModelFns, TrainableRavel
+    from pytorchhessianfree_tpu.accumulate import make_acc_mvp
+
+    key = jax.random.PRNGKey(0)
+    params = init_mlp(key, dtype=jnp.float64)
+    fns = HFModelFns(model_fn=mlp_apply, loss_outer=mse_loss)
+    config = HFConfig(damping=0.5)
+    ravel = TrainableRavel(params)
+    xs = jax.random.normal(key, (3, 8, 7), jnp.float64)
+    ys = jax.random.normal(key, (3, 8, 3), jnp.float64)
+    v = jax.random.normal(key, (ravel.dim,), jnp.float64)
+
+    plain = make_acc_mvp(fns, config, params, (xs, ys), reduction, ravel)(v)
+    amort = make_acc_mvp(
+        fns, config, params, (xs, ys), reduction, ravel, amortize=True
+    )(v)
+    np.testing.assert_allclose(
+        np.asarray(plain), np.asarray(amort), atol=1e-12
+    )
+
+
+@pytest.mark.parametrize("reduction", ["mean", "sum"])
 def test_acc_reduce_weighting(reduction):
     """Ragged-chunk weighted-sum semantics: result = sum N_i r_i / sum N_i
     for mean, plain sum for sum (reference optimizer.py:678-684)."""

@@ -1,0 +1,291 @@
+"""Cross-framework numerical parity (BASELINE.json north-star requirement).
+
+The reference itself cannot run here (BackPACK absent), so parity is checked
+against an INDEPENDENT implementation of the same algorithm: curvature
+products via torch.func on an identical-weight PyTorch model, and a
+host-side NumPy replica of the reference's solver semantics (PCG with
+Martens' criterion and the ceil(1.3^j)-1 grid, LM damping, efficient
+backtracking, Armijo line search).  Two-step parameter trajectories must
+match in f64 to tight tolerances.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from pytorchhessianfree_tpu import (
+    HFConfig,
+    HFModelFns,
+    TrainableRavel,
+    init_state,
+    make_hf_step,
+)
+
+SIZES = (5, 4, 3)
+
+
+# ---------------------------------------------------------------------------
+# identical two-framework model: tanh MLP with shared weights
+# ---------------------------------------------------------------------------
+
+
+def _make_problem(seed):
+    rng = np.random.default_rng(seed)
+    Ws = [
+        rng.standard_normal((SIZES[i], SIZES[i + 1])) / np.sqrt(SIZES[i])
+        for i in range(len(SIZES) - 1)
+    ]
+    bs = [rng.standard_normal((SIZES[i + 1],)) * 0.1 for i in range(len(SIZES) - 1)]
+    x = rng.standard_normal((12, SIZES[0]))
+    y = rng.standard_normal((12, SIZES[-1]))
+    return Ws, bs, x, y
+
+
+def _jax_setup(Ws, bs, x, y):
+    params = {
+        f"l{i}": {"w": jnp.asarray(W), "b": jnp.asarray(b)}
+        for i, (W, b) in enumerate(zip(Ws, bs))
+    }
+
+    def model_fn(p, inputs):
+        h = jnp.tanh(inputs @ p["l0"]["w"] + p["l0"]["b"])
+        return h @ p["l1"]["w"] + p["l1"]["b"]
+
+    def mse(o, t):
+        return jnp.mean((o - t) ** 2)
+
+    return params, model_fn, mse, (jnp.asarray(x), jnp.asarray(y))
+
+
+def _torch_setup(Ws, bs, x, y):
+    # insertion order matches KEYS (torch pytree specs are order-sensitive)
+    tp = {
+        "l0.b": torch.tensor(bs[0], dtype=torch.float64, requires_grad=True),
+        "l0.w": torch.tensor(Ws[0], dtype=torch.float64, requires_grad=True),
+        "l1.b": torch.tensor(bs[1], dtype=torch.float64, requires_grad=True),
+        "l1.w": torch.tensor(Ws[1], dtype=torch.float64, requires_grad=True),
+    }
+    tx = torch.tensor(x, dtype=torch.float64)
+    ty = torch.tensor(y, dtype=torch.float64)
+
+    def model(p, inputs):
+        h = torch.tanh(inputs @ p["l0.w"] + p["l0.b"])
+        return h @ p["l1.w"] + p["l1.b"]
+
+    def loss_outer(o):
+        return torch.mean((o - ty) ** 2)
+
+    return tp, model, loss_outer, tx
+
+
+# match JAX's sorted-key pytree flattening order ("b" < "w")
+KEYS = ["l0.b", "l0.w", "l1.b", "l1.w"]
+
+
+def _t_ravel(tree):
+    return torch.cat([tree[k].reshape(-1) for k in KEYS])
+
+
+def _t_unravel(vec, template):
+    out, i = {}, 0
+    for k in KEYS:
+        nelem = template[k].numel()
+        out[k] = vec[i : i + nelem].reshape(template[k].shape)
+        i += nelem
+    return out
+
+
+def _torch_grad_and_gv(tp, model, loss_outer, tx):
+    out, vjp_fn = torch.func.vjp(lambda p: model(p, tx), tp)
+    _, jvp_from = torch.func.linearize(lambda p: model(p, tx), tp)
+    lg = torch.func.grad(loss_outer)
+    grad = _t_ravel(vjp_fn(lg(out))[0]).detach()
+    loss = loss_outer(out)
+
+    def gv(v_np):
+        v = _t_unravel(torch.tensor(v_np, dtype=torch.float64), tp)
+        Jv = jvp_from(v)
+        _, HJv = torch.func.jvp(lg, (out,), (Jv,))
+        return _t_ravel(vjp_fn(HJv)[0]).detach().numpy()
+
+    return float(loss), grad.numpy(), gv
+
+
+# ---------------------------------------------------------------------------
+# NumPy replica of the reference solver semantics
+# ---------------------------------------------------------------------------
+
+
+def _np_cg(A, b, x0, max_iter, tol=1e-5):
+    """Martens-terminated PCG, storage grid ceil(1.3^j)-1, no precond."""
+    from math import ceil, log
+
+    grid = sorted(
+        {int(np.ceil(1.3**j) - 1) for j in range(ceil(log(max_iter + 1) / log(1.3)) + 1)}
+    )
+    grid = {g for g in grid if g <= max_iter}
+    res_bound = tol * np.linalg.norm(b)
+    x = x0.copy()
+    stored = {0: x.copy()} if 0 in grid else {}
+    r = A(x) - b
+    m_hist = [0.5 * np.dot(r - b, x)]
+    y_ = r
+    ry = np.dot(r, y_)
+    p = -y_
+    it = 1
+    while True:
+        Ap = A(p)
+        pAp = np.dot(p, Ap)
+        alpha = ry / pAp
+        x = x + alpha * p
+        if it in grid:
+            stored[it] = x.copy()
+        r = r + alpha * Ap
+        m_hist.append(0.5 * np.dot(r - b, x))
+        k = max(10, it // 10)
+        if k < it and (m_hist[it] - m_hist[it - k]) / (m_hist[it] - m_hist[0]) < 5e-4:
+            break
+        if it >= max_iter:
+            break
+        if np.isnan(np.linalg.norm(r)):
+            break
+        if np.linalg.norm(r) < res_bound:
+            break
+        y_ = r
+        ry_new = np.dot(r, y_)
+        beta = ry_new / ry
+        ry = ry_new
+        p = -y_ + beta * p
+        it += 1
+    return x, stored, m_hist, it
+
+
+def _np_backtrack(f, stored, x_final, final_iter):
+    f_min = np.inf
+    best_iter = final_iter
+    best = x_final
+    cands = [(final_iter, x_final)] + [
+        (i, v) for i, v in sorted(stored.items(), reverse=True) if i < final_iter
+    ]
+    for it, vec in cands:
+        fv = f(vec)
+        if fv < f_min:
+            f_min, best_iter, best = fv, it, vec
+        else:
+            break
+    return best_iter, best, f_min
+
+
+def _np_linesearch(f, grad, step, f0, init_alpha=1.0, beta=0.8, c=1e-2, max_iter=20):
+    c_dir = c * np.dot(grad, step)
+    alpha = init_alpha
+    fa = f(alpha * step)
+    for _ in range(max_iter):
+        if fa <= f0 + alpha * c_dir:
+            return alpha, fa
+        alpha *= beta
+        fa = f(alpha * step)
+    return 0.0, f0
+
+
+def _np_hf_step(tp, model, loss_outer, tx, x0, damping, cg_max_iter=30):
+    """One full reference-semantics HF step (GGN) in numpy/torch.func."""
+    init_loss, grad, gv = _torch_grad_and_gv(tp, model, loss_outer, tx)
+
+    def A(v):
+        return gv(v) + damping * v
+
+    x_final, stored, m_hist, final_iter = _np_cg(A, -grad, x0, cg_max_iter)
+    new_x0 = 0.95 * x_final
+
+    def f(delta):
+        trial = _t_unravel(
+            _t_ravel(tp) + torch.tensor(delta, dtype=torch.float64), tp
+        )
+        return float(loss_outer(model(trial, tx)))
+
+    # LM damping (f_0 at the warm start)
+    f_0 = f(x0)
+    f_step = f(x_final)
+    rho = (f_step - f_0) / (m_hist[final_iter] - m_hist[0])
+    new_damping = damping * (1.5 if rho < 0.25 else (2 / 3 if rho > 0.75 else 1.0))
+
+    _, step_vec, _ = _np_backtrack(f, stored, x_final, final_iter)
+    alpha, final_loss = _np_linesearch(f, grad, step_vec, init_loss)
+
+    new_flat = (_t_ravel(tp) + torch.tensor(alpha * step_vec)).detach()
+    new_tp = {
+        k: v.clone().requires_grad_(True)
+        for k, v in _t_unravel(new_flat, tp).items()
+    }
+    return new_tp, new_x0, new_damping, init_loss, final_loss
+
+
+# ---------------------------------------------------------------------------
+# the parity tests
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_loss_grad_ggn_matvec_parity(seed):
+    Ws, bs, x, y = _make_problem(seed)
+    params, model_fn, mse, batch = _jax_setup(Ws, bs, x, y)
+    tp, tmodel, touter, tx = _torch_setup(Ws, bs, x, y)
+
+    from pytorchhessianfree_tpu.optimizer import _build_matvec_and_grad
+
+    fns = HFModelFns(model_fn=model_fn, loss_outer=mse)
+    ravel = TrainableRavel(params)
+    config = HFConfig(damping=0.1)
+    j_loss, j_grad, j_mvp = _build_matvec_and_grad(
+        fns, config, ravel, params, batch
+    )
+    t_loss, t_grad, t_gv = _torch_grad_and_gv(tp, tmodel, touter, tx)
+
+    np.testing.assert_allclose(float(j_loss), t_loss, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(j_grad), t_grad, atol=1e-12)
+
+    rng = np.random.default_rng(seed)
+    for _ in range(3):
+        v = rng.standard_normal(ravel.dim)
+        np.testing.assert_allclose(
+            np.asarray(j_mvp(jnp.asarray(v))), t_gv(v), atol=1e-11
+        )
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_two_step_trajectory_parity(seed):
+    """Two full HF steps (GGN + LM damping + backtracking + line search):
+    the jitted on-device pipeline must track the independent torch/NumPy
+    replica of the reference algorithm."""
+    Ws, bs, x, y = _make_problem(seed)
+    params, model_fn, mse, batch = _jax_setup(Ws, bs, x, y)
+    tp, tmodel, touter, tx = _torch_setup(Ws, bs, x, y)
+
+    config = HFConfig(damping=0.1, cg_max_iter=30)
+    fns = HFModelFns(model_fn=model_fn, loss_outer=mse)
+    ravel = TrainableRavel(params)
+    step = make_hf_step(fns, config, ravel)
+
+    state = init_state(ravel, config)
+    x0 = np.zeros(ravel.dim)
+    damping = 0.1
+    p = params
+    for i in range(2):
+        p, state, stats = step(p, state, batch)
+        tp, x0, damping, t_init, t_final = _np_hf_step(
+            tp, tmodel, touter, tx, x0, damping
+        )
+        np.testing.assert_allclose(float(stats.init_loss), t_init, rtol=1e-9)
+        np.testing.assert_allclose(
+            float(stats.final_loss), t_final, rtol=1e-7
+        )
+        np.testing.assert_allclose(
+            float(state.damping), damping, rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(ravel.ravel(p)), _t_ravel(tp).detach().numpy(), atol=1e-7
+        )

@@ -25,7 +25,7 @@ path in ``parallel/`` is the scalable alternative.
 
 from __future__ import annotations
 
-from typing import Any, Callable, List, Optional, Sequence, Tuple, Union
+from typing import Any, Callable, List, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ function cannot); for inference-style normalization pass explicit ``stats``.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ functional API a "model" is just ``loss_fn(params, batch)`` with
 
 from __future__ import annotations
 
-from typing import Any, Callable, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,6 @@ harmless: padded lanes contribute 0 to every output.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

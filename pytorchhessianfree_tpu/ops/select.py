@@ -18,7 +18,7 @@ candidate satisfying the Armijo condition in both modes.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Tuple
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from .config import HFConfig
 from .ops import cg as cg_mod
-from .ops.cg import CGResult, cg
+from .ops.cg import cg
 from .ops.curvature import ggnvp_fn, hvp_fn
 from .ops.precond import diag_EF, diag_EF_scan, diag_to_preconditioner
 from .ops.select import cg_efficient_backtracking, simple_linesearch

@@ -25,8 +25,6 @@ reference's step == acc_step trajectory test
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Optional
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -785,6 +785,32 @@ class HessianFree:
         h["best_cg_iters"].append(int(stats.best_cg_iter))
         h["learning_rates"].append(float(stats.lr))
         self.last_stats = stats
+        if self.config.verbose:
+            # One structured line per step -- the observability analog of the
+            # reference's phase-by-phase prints (reference optimizer.py:197,
+            # :226, :485-501; cg.py:202; linesearch.py:57-102), emitted after
+            # the on-device step completes (printing inside jit would force
+            # host syncs, the thing this design eliminates).
+            flags = []
+            if bool(stats.nonpos_curvature):
+                flags.append("nonpos-curvature")
+            if bool(stats.rho_negative):
+                flags.append("rho<0")
+            if bool(stats.linesearch_failed):
+                flags.append("linesearch-failed")
+            if bool(stats.not_descent_direction):
+                flags.append("not-descent")
+            print(
+                f"[HF step {len(h['init_losses'])}]"
+                f" loss {float(stats.init_loss):.6f} -> "
+                f"{float(stats.final_loss):.6f} | damping "
+                f"{float(stats.damping):.6f} -> {float(stats.new_damping):.6f}"
+                f" (rho {float(stats.rho):.4f}) | cg "
+                f"{int(stats.num_cg_iters)} iters "
+                f"({cg_mod.CG_REASON_STRINGS[int(stats.cg_reason)]}) | best "
+                f"iter {int(stats.best_cg_iter)} | lr {float(stats.lr):.6f}"
+                + (f" | flags: {', '.join(flags)}" if flags else "")
+            )
         return float(stats.final_loss)
 
     def step(

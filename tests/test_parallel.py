@@ -110,6 +110,36 @@ def test_dp_step_with_preconditioner():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-8)
 
 
+def test_dp_diag_ef_matches_single_device():
+    """Empirical-Fisher diagonal computed with the batch sharded over the
+    mesh (GSPMD inserts the psum of squared per-sample grads) must equal the
+    single-device diagonal."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pytorchhessianfree_tpu import TrainableRavel, diag_EF
+
+    params, x, y = _problem(5)
+    ravel = TrainableRavel(params)
+    mesh = make_mesh(8)
+
+    d_single = diag_EF(mlp_apply, mse_loss, params, x, y, "mean", ravel)
+
+    shard = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    diag_jit = jax.jit(
+        lambda p, xi, yi: diag_EF(mlp_apply, mse_loss, p, xi, yi, "mean", ravel),
+        out_shardings=repl,
+    )
+    d_dp = diag_jit(
+        jax.device_put(params, repl),
+        jax.device_put(x, shard),
+        jax.device_put(y, shard),
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_single), np.asarray(d_dp), rtol=1e-10
+    )
+
+
 def test_mesh_helpers():
     from pytorchhessianfree_tpu.parallel.mesh import shard_batch
 

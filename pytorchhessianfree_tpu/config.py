@@ -44,6 +44,11 @@ class CGConfig:
     # HBM pass via a Pallas kernel (ops/pallas_kernels.py).  Opt-in: the
     # matvec dominates per-iteration cost for large models.
     use_fused_kernel: bool = False
+    # Optional reduced-precision dtype (e.g. "bfloat16") for the stored
+    # backtracking iterates: the [G, n] buffer is carried through every CG
+    # iteration, so halving it halves that HBM traffic.  Candidates are cast
+    # back on read; the selected update step is bf16-rounded (opt-in).
+    store_dtype: Optional[str] = None
 
     def __post_init__(self):
         if self.grid_gamma < 1.0:

@@ -111,6 +111,7 @@ def cg(
     martens_min_window: int = 10,
     nonpos_curv_option: str = "ignore",
     use_fused_kernel: bool = False,
+    store_dtype=None,
 ) -> CGResult:
     """Preconditioned CG for ``A x = b`` with Hessian-free modifications.
 
@@ -172,9 +173,13 @@ def cg(
     ry0 = jnp.vdot(r0, y0)
     p0 = -y0
 
-    x_buf = jnp.zeros((max(G, 1), n), dtype)
+    # Iterates may be stored reduced-precision (e.g. bf16): the [G, n] buffer
+    # is carried through every while_loop iteration, so halving it halves
+    # that HBM traffic.  Backtracking casts candidates back on read.
+    sdtype = jnp.dtype(store_dtype) if store_dtype is not None else dtype
+    x_buf = jnp.zeros((max(G, 1), n), sdtype)
     if G and stored_iters[0] == 0:
-        x_buf = x_buf.at[0].set(x0)
+        x_buf = x_buf.at[0].set(x0.astype(sdtype))
     if G == 0:
         x_buf = x_buf[:0]  # zero-row buffer, static shape (0, n)
 
@@ -216,7 +221,7 @@ def cg(
         if G:
             slot = slot_of_iter[it]
             safe = jnp.maximum(slot, 0)
-            row = jnp.where(slot >= 0, x_new, x_buf[safe])
+            row = jnp.where(slot >= 0, x_new.astype(sdtype), x_buf[safe])
             x_buf = x_buf.at[safe].set(row)
 
         m_hist = m_hist.at[it].set(m)

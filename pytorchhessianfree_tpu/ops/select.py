@@ -76,7 +76,8 @@ def cg_efficient_backtracking(
         if G == 0:
             return cgres.x
         jc = jnp.minimum(j, G - 1)
-        return jnp.where(j == G, cgres.x, cgres.x_buf[jc])
+        # stored iterates may be kept reduced-precision (cg store_dtype)
+        return jnp.where(j == G, cgres.x, cgres.x_buf[jc].astype(cgres.x.dtype))
 
     def valid_at(j):
         if G == 0:
@@ -87,7 +88,9 @@ def cg_efficient_backtracking(
     inf = jnp.asarray(jnp.inf, cgres.x.dtype)
 
     if mode == "batched":
-        stacked = jnp.concatenate([cgres.x_buf, cgres.x[None]], axis=0)
+        stacked = jnp.concatenate(
+            [cgres.x_buf.astype(cgres.x.dtype), cgres.x[None]], axis=0
+        )
         f_vals = jax.vmap(f)(stacked)  # one batched sweep over all candidates
 
         def walk(j, carry):
@@ -159,7 +162,9 @@ def cg_backtracking(
     one batched sweep -- the natural TPU formulation.
     """
     G, iters_arr = _candidates(cgres)
-    stacked = jnp.concatenate([cgres.x_buf, cgres.x[None]], axis=0)
+    stacked = jnp.concatenate(
+        [cgres.x_buf.astype(cgres.x.dtype), cgres.x[None]], axis=0
+    )
     f_vals = jax.vmap(f)(stacked)
     if G:
         valid = jnp.concatenate(

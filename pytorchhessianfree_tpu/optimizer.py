@@ -187,6 +187,7 @@ def _step_core(
         martens_min_window=config.cg.martens_min_window,
         nonpos_curv_option=config.cg.nonpos_curv_option,
         use_fused_kernel=config.cg.use_fused_kernel,
+        store_dtype=config.cg.store_dtype,
     )
 
     # Warm start for the next step: decayed *final* (not backtracked) iterate

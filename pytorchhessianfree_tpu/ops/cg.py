@@ -215,7 +215,14 @@ def cg(
             # Quadratic value m(x) tracked as 0.5 (r - b) . x
             # (reference cg.py:97).
             m = 0.5 * jnp.vdot(r_new - b, x_new)
-            res_norm = jnp.linalg.norm(r_new)
+            if M is None:
+                # Unpreconditioned: r.r serves both the residual norm and
+                # ry_new below (||r|| = sqrt(r.r) exactly, same reduction as
+                # linalg.norm) -- one fewer HBM pass per iteration.
+                rr = jnp.vdot(r_new, r_new)
+                res_norm = jnp.sqrt(rr)
+            else:
+                res_norm = jnp.linalg.norm(r_new)
 
         # Scatter the iterate into its grid slot, if any (reference cg.py:209-210).
         if G:
@@ -254,8 +261,12 @@ def cg(
 
         # Next search direction (reference cg.py:220-224); harmless garbage on
         # the final iteration since the loop exits before it is used.
-        y = apply_M(r_new)
-        ry_new = jnp.vdot(r_new, y)
+        if M is None:
+            y = r_new
+            ry_new = rr  # reuse the residual dot computed above
+        else:
+            y = apply_M(r_new)
+            ry_new = jnp.vdot(r_new, y)
         beta = ry_new / ry_old
         p_new = -y + beta * p
 

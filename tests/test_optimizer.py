@@ -180,6 +180,44 @@ def test_ggn_requires_split_form():
         HessianFree(params, loss_fn=fns.loss_fn, curvature_opt="ggn")
 
 
+def test_custom_grad_and_mvp_injection():
+    """hf_step accepts user-supplied grad/mvp overrides -- the analog of the
+    reference's step(grad=..., mvp=...) arguments (reference
+    optimizer.py:129-131): inject the analytic quadratic gradient/Hessian
+    and land on the Newton solution."""
+    from pytorchhessianfree_tpu import hf_step, init_state
+
+    A, b, _ = get_linear_system(5, seed=3, dtype=jnp.float64)
+    x_init = jnp.asarray(np.random.default_rng(3).random(5) - 0.5)
+    params, fns = quadratic_problem(A, b, 0.1, x_init)
+
+    config = HFConfig(
+        curvature_opt="hessian",
+        damping=0.0,
+        adapt_damping=False,
+        use_cg_backtracking=False,
+        use_linesearch=False,
+    )
+    ravel = TrainableRavel(params)
+
+    grad_vec = A @ x_init + b  # analytic gradient at x_init
+    new_params, _, _ = hf_step(
+        params,
+        init_state(ravel, config),
+        None,
+        fns=fns,
+        config=config,
+        ravel=ravel,
+        grad_vec=grad_vec,
+        mvp_vec=lambda v: A @ v,  # analytic Hessian matvec
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_params["x"]),
+        np.asarray(jnp.linalg.solve(A, -b)),
+        atol=1e-6,
+    )
+
+
 def test_deterministic_check_passes_for_pure_model():
     key = jax.random.PRNGKey(0)
     params = init_mlp(key)

@@ -1,0 +1,63 @@
+"""Multi-host initialization helpers.
+
+The reference has no distributed runtime at all (SURVEY.md 2.3); on TPU pods
+the runtime is simply JAX's: every host runs the same program,
+``jax.distributed.initialize`` wires the hosts together, and the same
+``Mesh``-based data-parallel steps from :mod:`.data_parallel` scale across
+hosts -- XLA routes intra-slice collectives over ICI and cross-slice ones
+over DCN without code changes.
+
+These helpers keep that one-liner discoverable and make single-host runs
+(e.g. CI, the virtual CPU mesh) no-ops.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize the multi-host JAX runtime.
+
+    On TPU pods with standard orchestration (GKE/TPU-VM metadata) all
+    arguments are auto-detected and this is ``jax.distributed.initialize()``.
+    No-op when the process group is already initialized or when running
+    single-process.
+    """
+    try:
+        already = jax.process_count() > 1
+    except Exception:
+        already = False
+    if already:
+        return
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (ValueError, RuntimeError):
+        # single-process environments (no coordinator) stay single-process
+        pass
+
+
+def global_batch_slice(global_batch_size: int) -> slice:
+    """The slice of a global batch this process should load.
+
+    With the batch sharded over the ``data`` mesh axis, each host feeds only
+    its local shard (``jax.make_array_from_process_local_data`` handles the
+    assembly); this helper gives the per-process row range for simple
+    contiguous layouts.
+    """
+    per = global_batch_size // jax.process_count()
+    start = per * jax.process_index()
+    return slice(start, start + per)

@@ -49,8 +49,14 @@ class CGConfig:
     # iteration, so halving it halves that HBM traffic.  Candidates are cast
     # back on read; the selected update step is bf16-rounded (opt-in).
     store_dtype: Optional[str] = None
+    # Iterate-buffer layout: "flat" keeps stored iterates in one 1-D buffer
+    # (layout-identical dynamic_update_slice writes); "rows" uses a [G+1, n]
+    # buffer.  Performance-only knob; results are identical.
+    buffer_layout: str = "flat"
 
     def __post_init__(self):
+        if self.buffer_layout not in ("flat", "rows"):
+            raise ValueError(f"Unknown buffer_layout {self.buffer_layout}")
         if self.grid_gamma < 1.0:
             raise ValueError(f"Invalid gamma = {self.grid_gamma}")
         if self.nonpos_curv_option not in ("ignore", "saddle-free"):

@@ -112,6 +112,7 @@ def cg(
     nonpos_curv_option: str = "ignore",
     use_fused_kernel: bool = False,
     store_dtype=None,
+    buffer_layout: str = "flat",
 ) -> CGResult:
     """Preconditioned CG for ``A x = b`` with Hessian-free modifications.
 
@@ -173,20 +174,28 @@ def cg(
     ry0 = jnp.vdot(r0, y0)
     p0 = -y0
 
-    # Iterates may be stored reduced-precision (e.g. bf16): the [G+1, n]
-    # buffer is carried through every while_loop iteration, so halving it
-    # halves that HBM traffic.  Backtracking casts candidates back on read.
+    # Iterate storage layout, tuned from v5e profiles of an 11M-param model:
     #
-    # Row G is a SCRATCH row: iterations without a grid slot write there
-    # unconditionally.  This keeps the scatter read-free (no conditional
-    # row select), which lets XLA alias the buffer update in place across
-    # loop iterations -- a conditional read-modify-write forces a full
-    # buffer copy every iteration (~2-3 ms/iter for an 11M-param model,
-    # measured on v5e; more than the curvature matvec itself).
+    # - FLAT [(G+1) * n] buffer, not [G+1, n]: writing a 1-D vector into a
+    #   row of a 2-D buffer whose row length is not lane-aligned forces a
+    #   re-tiling copy (~2.6 ms/iter observed); a 1-D dynamic_update_slice
+    #   at offset idx*n is layout-identical and aliases in place.
+    # - Slot G is a SCRATCH row written on off-grid iterations, keeping the
+    #   scatter read-free (a conditional read-modify-write blocks XLA's
+    #   in-place aliasing and copies the whole buffer every iteration).
+    # - Optional reduced-precision storage (``store_dtype``) halves the
+    #   buffer traffic; backtracking casts candidates back on read.
     sdtype = jnp.dtype(store_dtype) if store_dtype is not None else dtype
-    x_buf = jnp.zeros((G + 1, n), sdtype)
-    if G and stored_iters[0] == 0:
-        x_buf = x_buf.at[0].set(x0.astype(sdtype))
+    if buffer_layout == "flat":
+        x_buf = jnp.zeros(((G + 1) * n,), sdtype)
+        if G and stored_iters[0] == 0:
+            x_buf = jax.lax.dynamic_update_slice(
+                x_buf, x0.astype(sdtype), (0,)
+            )
+    else:  # "rows"
+        x_buf = jnp.zeros((G + 1, n), sdtype)
+        if G and stored_iters[0] == 0:
+            x_buf = x_buf.at[0].set(x0.astype(sdtype))
 
     def cond(carry):
         return jnp.logical_not(carry[7])
@@ -234,7 +243,12 @@ def cg(
         if G:
             slot = slot_of_iter[it]
             idx = jnp.where(slot >= 0, slot, G)
-            x_buf = x_buf.at[idx].set(x_new.astype(sdtype))
+            if buffer_layout == "flat":
+                x_buf = jax.lax.dynamic_update_slice(
+                    x_buf, x_new.astype(sdtype), (idx * n,)
+                )
+            else:
+                x_buf = x_buf.at[idx].set(x_new.astype(sdtype))
 
         m_hist = m_hist.at[it].set(m)
 
@@ -308,7 +322,12 @@ def cg(
         x=x,
         num_iters=it - 1,
         reason=reason,
-        x_buf=x_buf[:G],  # drop the scratch row (one slice, outside the loop)
+        # drop the scratch row (+ unflatten), one reshape outside the loop
+        x_buf=(
+            x_buf[: G * n].reshape(G, n)
+            if buffer_layout == "flat"
+            else x_buf[:G]
+        ),
         stored_iters=stored_iters,
         m_hist=m_hist,
         nonpos_pAp=nonpos,

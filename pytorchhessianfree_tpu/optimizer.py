@@ -188,6 +188,7 @@ def _step_core(
         nonpos_curv_option=config.cg.nonpos_curv_option,
         use_fused_kernel=config.cg.use_fused_kernel,
         store_dtype=config.cg.store_dtype,
+        buffer_layout=config.cg.buffer_layout,
     )
 
     # Warm start for the next step: decayed *final* (not backtracked) iterate

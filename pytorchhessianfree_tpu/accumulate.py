@@ -48,15 +48,21 @@ def _is_stacked(data: Datalist) -> bool:
 def _chunks(data: Datalist) -> List[Tuple[jax.Array, jax.Array]]:
     if _is_stacked(data):
         xs, ys = data
-        return [(xs[i], ys[i]) for i in range(xs.shape[0])]
+        take = lambda t, i: jax.tree_util.tree_map(lambda a: a[i], t)
+        return [(xs[i], take(ys, i)) for i in range(xs.shape[0])]
     return list(data)
+
+
+def _first_leaf(t):
+    return jax.tree_util.tree_leaves(t)[0]
 
 
 def _total_count(data: Datalist) -> int:
     if _is_stacked(data):
         xs, ys = data
-        return int(ys.shape[0]) * int(ys.shape[1])
-    return sum(int(y.shape[0]) for _, y in data)
+        y0 = _first_leaf(ys)
+        return int(y0.shape[0]) * int(y0.shape[1])
+    return sum(int(_first_leaf(y).shape[0]) for _, y in data)
 
 
 def acc_reduce(
@@ -77,16 +83,18 @@ def acc_reduce(
 
     if _is_stacked(data):
         xs, ys = data
-        C, N = ys.shape[0], ys.shape[1]
+        y0 = _first_leaf(ys)  # targets may be a pytree (e.g. (y, weights))
+        C, N = y0.shape[0], y0.shape[1]
 
         def body(acc, xy):
             r = eval_chunk(*xy)
             w = N if reduction == "mean" else 1
             return jax.tree_util.tree_map(lambda a, b: a + w * b, acc, r), None
 
+        y_first = jax.tree_util.tree_map(lambda a: a[0], ys)
         zero = jax.tree_util.tree_map(
             lambda s: jnp.zeros(s.shape, s.dtype),
-            jax.eval_shape(lambda: eval_chunk(xs[0], ys[0])),
+            jax.eval_shape(lambda: eval_chunk(xs[0], y_first)),
         )
         total, _ = jax.lax.scan(body, zero, (xs, ys))
         if reduction == "mean":
@@ -191,6 +199,67 @@ def make_acc_mvp(
         return acc_reduce(data, chunk_mvp, reduction)
 
     return mvp
+
+
+def pad_ragged_datalist(datalist):
+    """Pad a ragged datalist to uniform chunks + per-sample weights.
+
+    SURVEY.md lists this as a hard part of the rebuild: the reference's
+    datalists may have differing chunk sizes with per-chunk ``N_i`` weighting
+    (reference optimizer.py:554-559, :678-684), but ragged shapes don't jit
+    as a single scanned program.  This helper pads every chunk to the largest
+    size (repeating the last row) and returns 0/1 sample weights plus the
+    true total count, enabling the ``lax.scan`` fast path via
+    :func:`weighted_fns`.
+
+    Returns:
+        ``(xs [C, Nmax, ...], ys [C, Nmax, ...], w [C, Nmax], total)`` --
+        ``total`` is the real (unpadded) sample count.
+    """
+    chunks = list(datalist)
+    n_max = max(int(y.shape[0]) for _, y in chunks)
+    xs, ys, ws = [], [], []
+    total = 0
+    for x, y in chunks:
+        n = int(y.shape[0])
+        total += n
+        pad = n_max - n
+        if pad:
+            x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)])
+            y = jnp.concatenate([y, jnp.repeat(y[-1:], pad, axis=0)])
+        xs.append(x)
+        ys.append(y)
+        ws.append(
+            jnp.concatenate(
+                [jnp.ones((n,), x.dtype), jnp.zeros((pad,), x.dtype)]
+            )
+        )
+    return jnp.stack(xs), jnp.stack(ys), jnp.stack(ws), total
+
+
+def weighted_fns(model_fn, per_sample_loss, total, reduction: str = "mean"):
+    """Model fns over weight-augmented batches for padded ragged datalists.
+
+    ``per_sample_loss(outputs, targets) -> [N]`` per-sample losses.  The
+    returned :class:`~pytorchhessianfree_tpu.optimizer.HFModelFns` treats the
+    batch as ``(inputs, (targets, weights))`` and its loss is the weighted
+    SUM divided by ``total`` (for "mean") -- so accumulating the padded
+    stacked datalist with ``reduction="sum"`` reproduces the exact ragged
+    mean/sum semantics of the reference accumulator, chunk sizes and all:
+
+        hf_acc_step(..., loss_data=(xs, (ys, w)), reduction="sum")
+    """
+    from .optimizer import HFModelFns
+
+    if reduction not in ("mean", "sum"):
+        raise ValueError(f"Invalid reduction {reduction}")
+    denom = float(total) if reduction == "mean" else 1.0
+
+    def loss_outer(outputs, targets_and_w):
+        targets, w = targets_and_w
+        return jnp.sum(per_sample_loss(outputs, targets) * w) / denom
+
+    return HFModelFns(model_fn=model_fn, loss_outer=loss_outer)
 
 
 def concat_datalist(data: Datalist) -> Tuple[jax.Array, jax.Array]:

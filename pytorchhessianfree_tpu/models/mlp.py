@@ -69,6 +69,21 @@ def cross_entropy_loss_sum(logits: jax.Array, labels: jax.Array) -> jax.Array:
     return -jnp.sum(jnp.take_along_axis(logp, labels[:, None], axis=-1))
 
 
+def mse_per_sample(outputs: jax.Array, targets: jax.Array) -> jax.Array:
+    """[N] per-sample MSE (mean over feature dims), such that the uniform
+    mean over samples equals :func:`mse_loss`."""
+    axes = tuple(range(1, outputs.ndim))
+    return jnp.mean((outputs - targets) ** 2, axis=axes)
+
+
+def cross_entropy_per_sample(
+    logits: jax.Array, labels: jax.Array
+) -> jax.Array:
+    """[N] per-sample softmax cross-entropy with integer labels."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+
+
 def freeze_first_layer(params: Any) -> Any:
     """Trainable mask with layer 0 frozen -- the reference's
     ``freeze_layer1`` test knob (reference tests/test_utils.py:40-43)."""

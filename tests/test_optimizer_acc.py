@@ -146,6 +146,71 @@ def test_amortized_acc_mvp_matches_per_chunk(reduction):
     )
 
 
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("reduction", ["mean", "sum"])
+def test_padded_scan_matches_ragged_unrolled(seed, reduction):
+    """Padded-stacked datalist (scan path, per-sample weights) must follow
+    the same trajectory as the unrolled ragged datalist -- the jit-friendly
+    form of the reference's differing-chunk-size semantics
+    (reference optimizer.py:554-559, :678-684)."""
+    from pytorchhessianfree_tpu import (
+        HFConfig,
+        HFModelFns,
+        TrainableRavel,
+        hf_acc_step,
+        init_state,
+    )
+    from pytorchhessianfree_tpu.accumulate import (
+        pad_ragged_datalist,
+        weighted_fns,
+    )
+    from pytorchhessianfree_tpu.models.mlp import mse_per_sample
+
+    params, x, y = _problem(seed, N=16)
+    loss_outer = mse_loss if reduction == "mean" else mse_loss_sum
+    ragged = [(x[:5], y[:5]), (x[5:12], y[5:12]), (x[12:], y[12:])]
+
+    config = HFConfig(damping=0.5, cg_max_iter=40)
+    ravel = TrainableRavel(params)
+
+    # A: unrolled ragged path
+    fns_a = HFModelFns(model_fn=mlp_apply, loss_outer=loss_outer)
+    p_a, s_a, stats_a = hf_acc_step(
+        params,
+        init_state(ravel, config),
+        fns=fns_a,
+        config=config,
+        ravel=ravel,
+        loss_data=ragged,
+        reduction=reduction,
+    )
+
+    # B: padded stacked path (scan) with per-sample weights
+    def per_sample(o, t):
+        ps = mse_per_sample(o, t)
+        return ps if reduction == "mean" else ps * o.shape[-1]
+
+    xs, ys, w, total = pad_ragged_datalist(ragged)
+    fns_b = weighted_fns(mlp_apply, per_sample, total, reduction)
+    p_b, s_b, stats_b = hf_acc_step(
+        params,
+        init_state(ravel, config),
+        fns=fns_b,
+        config=config,
+        ravel=ravel,
+        loss_data=(xs, (ys, w)),
+        reduction="sum",  # the weighted form bakes the normalization in
+    )
+
+    np.testing.assert_allclose(
+        float(stats_a.init_loss), float(stats_b.init_loss), rtol=1e-12
+    )
+    # padded weighted sums reorder the fp reductions; CG amplifies the
+    # last-bit difference slightly over its iterations
+    _params_allclose(p_a, p_b, atol=1e-6)
+    assert int(stats_a.num_cg_iters) == int(stats_b.num_cg_iters)
+
+
 @pytest.mark.parametrize("reduction", ["mean", "sum"])
 def test_acc_reduce_weighting(reduction):
     """Ragged-chunk weighted-sum semantics: result = sum N_i r_i / sum N_i

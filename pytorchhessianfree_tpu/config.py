@@ -121,6 +121,15 @@ class HFConfig:
     # CG vector arithmetic stay in the parameter dtype.  CG tolerates modest
     # matvec noise (the damping absorbs it); None = full precision.
     curvature_dtype: Optional[str] = None
+    # Automatic preconditioning: "none" (pass precond_diag/M explicitly, the
+    # reference's manual get_preconditioner flow) or "diag_ef" -- compute the
+    # empirical-Fisher diagonal from the step's own batch INSIDE the jitted
+    # step (vmap'ed per-sample grads) and apply Martens'
+    # (D + damping)^(-exponent) preconditioner with the live damping.
+    # Requires the split model form.
+    precond: str = "none"
+    precond_exponent: float = 0.75  # reference preconditioners.py:108
+    precond_reduction: str = "mean"  # must match the loss's reduction
     cg: CGConfig = dataclasses.field(default_factory=CGConfig)
     linesearch: LineSearchConfig = dataclasses.field(
         default_factory=LineSearchConfig
@@ -145,3 +154,5 @@ class HFConfig:
             raise ValueError(
                 f"Unknown backtracking mode {self.backtracking_mode}"
             )
+        if self.precond not in ("none", "diag_ef"):
+            raise ValueError(f"Unknown precond option {self.precond}")

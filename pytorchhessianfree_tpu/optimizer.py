@@ -397,6 +397,23 @@ def hf_step(
         M = diag_to_preconditioner(
             precond_diag, state.damping, precond_exponent
         )
+    elif M is None and config.precond == "diag_ef":
+        # In-step automatic preconditioning: the empirical-Fisher diagonal
+        # from THIS step's batch, computed on-device inside the same jitted
+        # program (no external get_preconditioner flow needed).
+        if fns.model_fn is None:
+            raise ValueError(
+                "precond='diag_ef' requires the split model form "
+                "(per-sample gradients need model_fn + loss_outer)."
+            )
+        inputs, targets = batch
+        diag = diag_EF(
+            fns.model_fn, fns.loss_outer, params, inputs, targets,
+            config.precond_reduction, ravel,
+        )
+        M = diag_to_preconditioner(
+            diag, state.damping, config.precond_exponent
+        )
 
     def loss_at(delta):
         return fns.full_loss(ravel.add(params, delta), batch)

@@ -97,6 +97,61 @@ def test_diag_EF_preconditioner_returns_closure_and_diag():
     )
 
 
+def test_auto_precond_matches_manual():
+    """HFConfig(precond='diag_ef') -- the in-step automatic preconditioner --
+    must produce the same update as manually passing the same batch's
+    empirical-Fisher diagonal (the reference's get_preconditioner flow)."""
+    from pytorchhessianfree_tpu import (
+        HFConfig,
+        HFModelFns,
+        init_state,
+        make_hf_step,
+    )
+
+    key = jax.random.PRNGKey(0)
+    params = init_mlp(key, dtype=jnp.float64)
+    fns = HFModelFns(model_fn=mlp_apply, loss_outer=mse_loss)
+    ravel = TrainableRavel(params)
+    x = jax.random.normal(key, (16, 7), jnp.float64)
+    y = jax.random.normal(key, (16, 3), jnp.float64)
+
+    cfg_auto = HFConfig(damping=0.5, cg_max_iter=30, precond="diag_ef")
+    cfg_man = HFConfig(damping=0.5, cg_max_iter=30)
+    p_a, _, st_a = make_hf_step(fns, cfg_auto, ravel)(
+        params, init_state(ravel, cfg_auto), (x, y)
+    )
+    diag = diag_EF(mlp_apply, mse_loss, params, x, y, "mean", ravel)
+    p_m, _, st_m = make_hf_step(fns, cfg_man, ravel)(
+        params, init_state(ravel, cfg_man), (x, y), precond_diag=diag
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_a), jax.tree_util.tree_leaves(p_m)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+    assert int(st_a.num_cg_iters) == int(st_m.num_cg_iters)
+
+
+def test_auto_precond_requires_split_form():
+    from pytorchhessianfree_tpu import (
+        HFConfig,
+        HFModelFns,
+        TrainableRavel as TR,
+        init_state,
+        hf_step,
+    )
+
+    params = {"x": jnp.ones(3)}
+    fns = HFModelFns(loss_fn=lambda p, b: jnp.sum(p["x"] ** 2))
+    cfg = HFConfig(
+        curvature_opt="hessian", damping=0.5, precond="diag_ef",
+        cg_max_iter=5,
+    )
+    ravel = TR(params)
+    with pytest.raises(ValueError):
+        hf_step(params, init_state(ravel, cfg), None,
+                fns=fns, config=cfg, ravel=ravel)
+
+
 def test_diag_EF_invalid_reduction():
     key = jax.random.PRNGKey(0)
     params = init_mlp(key)

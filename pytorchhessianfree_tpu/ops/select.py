@@ -30,6 +30,10 @@ class BacktrackResult(NamedTuple):
     best_iter: jax.Array  # int32: CG iteration number of the chosen step
     step: jax.Array  # [n] the chosen update step
     f_best: jax.Array  # loss at the chosen step
+    # loss at the FINAL CG iterate (always the first candidate evaluated);
+    # the LM damping heuristic needs exactly this value (reference
+    # optimizer.py:303 tfunc(x_iters[-1])), so exposing it saves a forward
+    f_final: jax.Array
 
 
 class LinesearchResult(NamedTuple):
@@ -92,6 +96,7 @@ def cg_efficient_backtracking(
             [cgres.x_buf.astype(cgres.x.dtype), cgres.x[None]], axis=0
         )
         f_vals = jax.vmap(f)(stacked)  # one batched sweep over all candidates
+        f_final = f_vals[G]
 
         def walk(j, carry):
             best, fmin, done = carry
@@ -110,6 +115,11 @@ def cg_efficient_backtracking(
             0, G + 1, walk, (jnp.asarray(G, jnp.int32), inf, jnp.asarray(False))
         )
     else:
+        # Candidate G (the final iterate) is always evaluated first with
+        # f_min = inf, so it unconditionally becomes the initial best
+        # (reference cg_backtracking.py:80-95); evaluating it up front lets
+        # the optimizer reuse the value for the LM heuristic.
+        f_final = f(cgres.x)
 
         def cond(carry):
             j, _best, _fmin, done = carry
@@ -129,9 +139,9 @@ def cg_efficient_backtracking(
             cond,
             body,
             (
+                jnp.asarray(G - 1, jnp.int32),  # walk starts below G
                 jnp.asarray(G, jnp.int32),
-                jnp.asarray(G, jnp.int32),
-                inf,
+                f_final,
                 jnp.asarray(False),
             ),
         )
@@ -149,6 +159,7 @@ def cg_efficient_backtracking(
         best_iter=best_iter.astype(jnp.int32),
         step=step_at(best),
         f_best=fmin,
+        f_final=f_final,
     )
 
 
@@ -185,7 +196,10 @@ def cg_backtracking(
     )
     step = stacked[best]
     return BacktrackResult(
-        best_iter=best_iter.astype(jnp.int32), step=step, f_best=masked[best]
+        best_iter=best_iter.astype(jnp.int32),
+        step=step,
+        f_best=masked[best],
+        f_final=f_vals[G],
     )
 
 

@@ -195,11 +195,30 @@ def _step_core(
     # (reference optimizer.py:279-281).
     new_x0 = jnp.asarray(config.cg_decay_x0, cgres.x.dtype) * cgres.x
 
+    # CG-backtracking (reference optimizer.py:311-318).  Run before the LM
+    # heuristic so its (always-evaluated) loss at the final iterate can be
+    # reused as the heuristic's f_step -- the same value the reference
+    # computes twice (optimizer.py:303 and the first backtracking candidate).
+    if config.use_cg_backtracking:
+        with jax.named_scope("hf_cg_backtracking"):
+            bt = cg_efficient_backtracking(
+                loss_at, cgres, mode=config.backtracking_mode
+            )
+        step_vec = bt.step
+        best_cg_iter = bt.best_iter
+        f_at_final = bt.f_final
+    else:
+        step_vec = cgres.x
+        best_cg_iter = cgres.num_iters
+        f_at_final = None
+
     # LM damping adaptation (reference optimizer.py:299-306).
     if config.adapt_damping:
         with jax.named_scope("hf_adapt_damping"):
             f_0 = loss_at(state.x0)  # loss at x_iters[0] = the warm start
-            f_step = loss_at(cgres.x)
+            f_step = (
+                f_at_final if f_at_final is not None else loss_at(cgres.x)
+            )
             rho, new_damping = _adapt_damping(
                 config, damping, f_0, f_step, cgres.m_hist[0], cgres.m_final
             )
@@ -208,18 +227,6 @@ def _step_core(
         rho = jnp.asarray(jnp.nan, grad_vec.dtype)
         new_damping = damping
         rho_negative = jnp.asarray(False)
-
-    # CG-backtracking (reference optimizer.py:311-318).
-    if config.use_cg_backtracking:
-        with jax.named_scope("hf_cg_backtracking"):
-            bt = cg_efficient_backtracking(
-                loss_at, cgres, mode=config.backtracking_mode
-            )
-        step_vec = bt.step
-        best_cg_iter = bt.best_iter
-    else:
-        step_vec = cgres.x
-        best_cg_iter = cgres.num_iters
 
     # Line search (reference optimizer.py:323-340).
     if config.use_linesearch:

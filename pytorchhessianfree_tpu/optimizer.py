@@ -961,3 +961,25 @@ class HessianFree:
             step_count=jnp.asarray(s["step_count"], jnp.int32),
         )
         self.history.update(sd.get("history", {}))
+
+    def save(self, path: str, backend: str = "orbax") -> None:
+        """Checkpoint params + optimizer state + history (see checkpoint.py)."""
+        from . import checkpoint as ckpt
+
+        if backend == "orbax":
+            ckpt.save(path, self.params, self.state, self.history)
+        else:
+            ckpt.save_npz(path, self.params, self.state, self.history)
+
+    def load(self, path: str, backend: str = "orbax") -> None:
+        """Restore a checkpoint written by :meth:`save` (params, optimizer
+        state and history); training continues bit-identically."""
+        from . import checkpoint as ckpt
+
+        if backend == "orbax":
+            params, state, history = ckpt.restore(path)
+        else:
+            params, state, history = ckpt.restore_npz(path, self.params)
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        self.state = state
+        self.history.update(history)

@@ -257,6 +257,39 @@ def test_loss_grad_ggn_matvec_parity(seed):
 
 
 @pytest.mark.parametrize("seed", [0, 1])
+def test_hessian_matvec_parity(seed):
+    """Hessian-vector products (forward-over-reverse) must match torch.func's
+    jvp-of-grad on the identical model -- the Hessian curvature path analog
+    of the GGN check (reference _Hv, optimizer.py:450-455)."""
+    Ws, bs, x, y = _make_problem(seed)
+    params, model_fn, mse, batch = _jax_setup(Ws, bs, x, y)
+    tp, tmodel, touter, tx = _torch_setup(Ws, bs, x, y)
+
+    from pytorchhessianfree_tpu.optimizer import _build_matvec_and_grad
+
+    fns = HFModelFns(model_fn=model_fn, loss_outer=mse)
+    ravel = TrainableRavel(params)
+    config = HFConfig(curvature_opt="hessian", damping=0.1)
+    _, _, j_hvp = _build_matvec_and_grad(fns, config, ravel, params, batch)
+
+    def t_loss(p):
+        return touter(tmodel(p, tx))
+
+    t_grad_fn = torch.func.grad(t_loss)
+
+    rng = np.random.default_rng(seed + 5)
+    for _ in range(3):
+        v = rng.standard_normal(ravel.dim)
+        tv = _t_unravel(torch.tensor(v, dtype=torch.float64), tp)
+        _, t_hv = torch.func.jvp(t_grad_fn, (tp,), (tv,))
+        np.testing.assert_allclose(
+            np.asarray(j_hvp(jnp.asarray(v))),
+            _t_ravel(t_hv).detach().numpy(),
+            atol=1e-11,
+        )
+
+
+@pytest.mark.parametrize("seed", [0, 1])
 def test_two_step_trajectory_parity(seed):
     """Two full HF steps (GGN + LM damping + backtracking + line search):
     the jitted on-device pipeline must track the independent torch/NumPy

@@ -137,6 +137,8 @@ def cg(
     """
     if nonpos_curv_option not in ("ignore", "saddle-free"):
         raise ValueError(f"Unknown option {nonpos_curv_option}.")
+    if buffer_layout not in ("flat", "rows"):
+        raise ValueError(f"Unknown buffer_layout {buffer_layout}")
 
     n = b.shape[0]
     dtype = b.dtype

@@ -11,6 +11,7 @@ from .mlp import (
     mse_loss_sum,
 )
 from .resnet import init_resnet18, resnet18_apply
+from .transformer import init_transformer, transformer_apply
 from .targetfunc import (
     quadratic_problem,
     rosenbrock,
@@ -31,6 +32,8 @@ __all__ = [
     "mse_loss_sum",
     "init_resnet18",
     "resnet18_apply",
+    "init_transformer",
+    "transformer_apply",
     "quadratic_problem",
     "rosenbrock",
     "rosenbrock_problem",

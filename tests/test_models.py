@@ -44,6 +44,34 @@ def test_allcnnc_shapes():
     assert reg > 0
 
 
+def test_transformer_trains_with_hf():
+    """GGN through softmax attention + layernorm: a compact transformer
+    classifier must learn a synthetic token rule under the full HF pipeline
+    (a model family beyond the reference's MLP/CNN zoo)."""
+    import functools
+
+    from pytorchhessianfree_tpu.models import (
+        init_transformer,
+        transformer_apply,
+    )
+
+    key = jax.random.PRNGKey(0)
+    params = init_transformer(key)
+    tokens = jax.random.randint(key, (16, 12), 0, 64)
+    labels = tokens.sum(axis=1) % 4  # learnable rule
+
+    opt = HessianFree(
+        params,
+        model_fn=functools.partial(transformer_apply, n_heads=4),
+        loss_outer=cross_entropy_loss,
+        damping=1.0,
+        cg_max_iter=30,
+    )
+    losses = [opt.step((tokens, labels)) for _ in range(5)]
+    assert losses[-1] < 0.2 * opt.history["init_losses"][0]
+    assert all(np.isfinite(v) for v in losses)
+
+
 def test_tiny_convnet_trains_with_hf():
     """A reduced All-CNN-C-style net must decrease its loss under the full HF
     pipeline -- the 'one conv model running end-to-end' smoke for CI."""

@@ -872,9 +872,12 @@ class HessianFree:
         reduction: str = "mean",
         precond_diag: Optional[jax.Array] = None,
         test_deterministic: bool = False,
+        mvp_amortize: bool = False,
     ) -> float:
         """Accumulated step over mini-batch datalists
-        (reference optimizer.py:519-606)."""
+        (reference optimizer.py:519-606).  ``mvp_amortize=True`` linearizes
+        the whole (stacked) mvp datalist once per step instead of per chunk
+        per CG iteration -- see accumulate.make_acc_mvp."""
         if test_deterministic:
             from . import accumulate as acc
 
@@ -886,11 +889,13 @@ class HessianFree:
                 import warnings
 
                 warnings.warn(f"Non-deterministic behaviour detected ({res}).")
-        if reduction not in self._acc_steps:
-            self._acc_steps[reduction] = make_hf_acc_step(
-                self.fns, self.config, self.ravel, reduction
+        cache_key = (reduction, mvp_amortize)
+        if cache_key not in self._acc_steps:
+            self._acc_steps[cache_key] = make_hf_acc_step(
+                self.fns, self.config, self.ravel, reduction,
+                mvp_amortize=mvp_amortize,
             )
-        self.params, self.state, stats = self._acc_steps[reduction](
+        self.params, self.state, stats = self._acc_steps[cache_key](
             self.params,
             self.state,
             loss_data,

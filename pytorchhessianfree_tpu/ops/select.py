@@ -117,32 +117,33 @@ def cg_efficient_backtracking(
     else:
         # Candidate G (the final iterate) is always evaluated first with
         # f_min = inf, so it unconditionally becomes the initial best
-        # (reference cg_backtracking.py:80-95); evaluating it up front lets
-        # the optimizer reuse the value for the LM heuristic.
-        f_final = f(cgres.x)
-
+        # (reference cg_backtracking.py:80-95).  Its value is captured from
+        # the first loop trip (f_at_G carry slot) so the optimizer can reuse
+        # it for the LM heuristic without a second trace of `f`.
         def cond(carry):
-            j, _best, _fmin, done = carry
+            j, _best, _fmin, done, _f_at_G = carry
             return jnp.logical_not(done) & (j >= 0)
 
         def body(carry):
-            j, best, fmin, done = carry
+            j, best, fmin, done, f_at_G = carry
             valid = valid_at(j)
             fj = jax.lax.cond(valid, f, lambda s: inf, step_at(j))
+            f_at_G = jnp.where(j == G, fj, f_at_G)
             improved = fj < fmin
             best = jnp.where(valid & improved, j, best)
             fmin = jnp.where(valid & improved, fj, fmin)
             done = done | (valid & jnp.logical_not(improved))
-            return j - 1, best, fmin, done
+            return j - 1, best, fmin, done, f_at_G
 
-        _, best, fmin, _ = jax.lax.while_loop(
+        _, best, fmin, _, f_final = jax.lax.while_loop(
             cond,
             body,
             (
-                jnp.asarray(G - 1, jnp.int32),  # walk starts below G
                 jnp.asarray(G, jnp.int32),
-                f_final,
+                jnp.asarray(G, jnp.int32),
+                inf,
                 jnp.asarray(False),
+                inf,
             ),
         )
 
@@ -248,27 +249,29 @@ def simple_linesearch(
         f_alpha = jnp.where(any_ok, f_vals[first], f_0)
         return LinesearchResult(alpha, f_alpha, jnp.logical_not(any_ok), not_descent)
 
-    f_init = f(jnp.asarray(init_alpha, dtype) * step)
-
+    # One `f` trace: each loop trip evaluates the current alpha, checks the
+    # Armijo condition and shrinks on failure.  The sequence of evaluated
+    # alphas and the accepted (alpha, f) pair are identical to the
+    # reference's evaluate-ahead loop (linesearch.py:61-97); the only
+    # difference is that the reference wastes one final evaluation in the
+    # total-failure case.
     def cond(carry):
         _alpha, _f_alpha, i, accepted = carry
         return jnp.logical_not(accepted) & (i < max_iter)
 
     def body(carry):
-        alpha, f_alpha, i, _ = carry
-        accept = f_alpha <= f_0 + alpha * c_dir
+        alpha, _f_alpha, i, _ = carry
+        fa = f(alpha * step)
+        accept = fa <= f_0 + alpha * c_dir
         new_alpha = jnp.where(accept, alpha, alpha * beta)
-        new_f = jax.lax.cond(
-            accept, lambda a: f_alpha, lambda a: f(a * step), new_alpha
-        )
-        return new_alpha, new_f, i + 1, accept
+        return new_alpha, fa, i + 1, accept
 
     alpha, f_alpha, _, accepted = jax.lax.while_loop(
         cond,
         body,
         (
             jnp.asarray(init_alpha, dtype),
-            f_init,
+            jnp.asarray(jnp.nan, dtype),
             jnp.asarray(0, jnp.int32),
             jnp.asarray(False),
         ),

@@ -228,3 +228,48 @@ def test_deterministic_check_passes_for_pure_model():
     y = jax.random.normal(key, (8, 3))
     res = opt.test_deterministic((x, y))
     assert all(res.values())
+
+
+@pytest.mark.parametrize("cg_max_iter", [1, 2])
+def test_step_with_tiny_cg_budget(cg_max_iter):
+    """Degenerate CG budgets must run the full pipeline without error
+    (grid reduces to {0, 1}; backtracking and line search still select)."""
+    key = jax.random.PRNGKey(0)
+    params = init_mlp(key, dtype=jnp.float64)
+    opt = HessianFree(
+        params,
+        model_fn=mlp_apply,
+        loss_outer=mse_loss,
+        damping=0.5,
+        cg_max_iter=cg_max_iter,
+    )
+    x = jax.random.normal(key, (8, 7), jnp.float64)
+    y = jax.random.normal(key, (8, 3), jnp.float64)
+    loss = opt.step((x, y))
+    assert np.isfinite(loss)
+    assert opt.history["num_cg_iters"][0] <= cg_max_iter
+
+
+def test_cg_max_iter_none_uses_dimension():
+    """cg_max_iter=None falls back to the trainable dimension
+    (reference cg.py:177)."""
+    A, b, _ = get_linear_system(6, seed=0, dtype=jnp.float64)
+    params, fns = quadratic_problem(A, b, 0.0, jnp.zeros(6, jnp.float64))
+    config = HFConfig(
+        curvature_opt="hessian",
+        damping=0.0,
+        adapt_damping=False,
+        use_cg_backtracking=False,
+        use_linesearch=False,
+        cg_max_iter=None,
+    )
+    ravel = TrainableRavel(params)
+    new_params, _, stats = make_hf_step(fns, config, ravel)(
+        params, init_state(ravel, config), None
+    )
+    assert int(stats.num_cg_iters) <= 6
+    np.testing.assert_allclose(
+        np.asarray(new_params["x"]),
+        np.asarray(jnp.linalg.solve(A, -b)),
+        atol=1e-6,
+    )

@@ -118,6 +118,34 @@ def diag_to_preconditioner(
     return M_func
 
 
+class EMADiag:
+    """Exponential moving average of per-batch preconditioner diagonals.
+
+    Smooths the empirical-Fisher diagonal across steps (per-batch diagonals
+    are noisy at small batch sizes); a capability beyond the reference's
+    per-batch construction.  Host-side convenience -- hand ``update(diag)``'s
+    return value to the step as ``precond_diag``:
+
+        ema = EMADiag(decay=0.9)
+        for batch in batches:
+            diag = opt.get_preconditioner(*batch, reduction="mean")
+            opt.step(batch, precond_diag=ema.update(diag))
+    """
+
+    def __init__(self, decay: float = 0.9):
+        if not 0.0 <= decay < 1.0:
+            raise ValueError(f"Invalid decay {decay}")
+        self.decay = decay
+        self.diag: Optional[jax.Array] = None
+
+    def update(self, diag: jax.Array) -> jax.Array:
+        if self.diag is None:
+            self.diag = diag
+        else:
+            self.diag = self.decay * self.diag + (1.0 - self.decay) * diag
+        return self.diag
+
+
 def diag_EF_preconditioner(
     model_fn: Callable[[Any, Any], Any],
     loss_outer: Callable[[Any, Any], jax.Array],

@@ -152,6 +152,35 @@ def test_auto_precond_requires_split_form():
                 fns=fns, config=cfg, ravel=ravel)
 
 
+def test_ema_diag():
+    """EMA-smoothed preconditioner diagonal across steps."""
+    from pytorchhessianfree_tpu.ops.precond import EMADiag
+
+    e = EMADiag(decay=0.5)
+    d1 = jnp.asarray([2.0, 4.0])
+    d2 = jnp.asarray([4.0, 8.0])
+    np.testing.assert_array_equal(np.asarray(e.update(d1)), [2.0, 4.0])
+    np.testing.assert_allclose(np.asarray(e.update(d2)), [3.0, 6.0])
+    with pytest.raises(ValueError):
+        EMADiag(decay=1.5)
+
+    # end-to-end: EMA diag drives a preconditioned HF step
+    from pytorchhessianfree_tpu import HessianFree
+
+    key = jax.random.PRNGKey(0)
+    params = init_mlp(key)
+    opt = HessianFree(
+        params, model_fn=mlp_apply, loss_outer=mse_loss, damping=0.5
+    )
+    ema = EMADiag(decay=0.9)
+    x = jax.random.normal(key, (8, 7), jnp.float32)
+    y = jax.random.normal(key, (8, 3), jnp.float32)
+    for _ in range(2):
+        diag = opt.get_preconditioner(x, y, reduction="mean")
+        loss = opt.step((x, y), precond_diag=ema.update(diag))
+    assert np.isfinite(loss)
+
+
 def test_diag_EF_invalid_reduction():
     key = jax.random.PRNGKey(0)
     params = init_mlp(key)

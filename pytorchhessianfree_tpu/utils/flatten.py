@@ -71,12 +71,20 @@ class TrainableRavel:
         (reference optimizer.py:234, :288).
         """
         leaves = jax.tree_util.tree_leaves(tree)
+        self._check_leaves(leaves)
         parts = [
             jnp.ravel(leaf).astype(self.dtype)
             for leaf, m in zip(leaves, self._mask)
             if m
         ]
         return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+    def _check_leaves(self, leaves):
+        if len(leaves) != len(self._mask):
+            raise ValueError(
+                f"Pytree has {len(leaves)} leaves; this TrainableRavel was "
+                f"built for {len(self._mask)}."
+            )
 
     # -- vector -> pytree --------------------------------------------------
     def _check_len(self, vec: jax.Array):
@@ -119,6 +127,7 @@ class TrainableRavel:
         """
         self._check_len(vec)
         leaves = jax.tree_util.tree_leaves(params)
+        self._check_leaves(leaves)
         out = []
         for idx, (leaf, m) in enumerate(zip(leaves, self._mask)):
             if m:
@@ -138,6 +147,7 @@ class TrainableRavel:
         done functionally."""
         self._check_len(vec)
         leaves = jax.tree_util.tree_leaves(params)
+        self._check_leaves(leaves)
         out = []
         for idx, (leaf, m) in enumerate(zip(leaves, self._mask)):
             if m:

@@ -128,17 +128,17 @@ class PrefetchLoader:
         if not self._h:
             raise ValueError("invalid PrefetchLoader configuration")
         self.batches_per_epoch = int(lib.hfb_batches_per_epoch(self._h))
-        self._bx = np.empty((batch_size,) + self._in_shape, np.float32)
-        self._by = np.empty((batch_size,) + self._tgt_shape, np.float32)
 
     def next_batch(self) -> Tuple[np.ndarray, np.ndarray]:
+        # fresh buffers per call: the C side copies straight into them, and
+        # the caller owns the result (single copy end to end)
+        x = np.empty((self.batch_size,) + self._in_shape, np.float32)
+        y = np.empty((self.batch_size,) + self._tgt_shape, np.float32)
         self._lib.hfb_next(
             self._h,
-            self._bx.ctypes.data_as(ctypes.c_void_p),
-            self._by.ctypes.data_as(ctypes.c_void_p),
+            x.ctypes.data_as(ctypes.c_void_p),
+            y.ctypes.data_as(ctypes.c_void_p),
         )
-        x = self._bx.copy()
-        y = self._by.copy()
         if self.labels_as_int:
             y = y.astype(np.int32)
         return x, y

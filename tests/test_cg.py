@@ -226,3 +226,15 @@ def test_cg_jit_and_warm_start():
     res_cold = solve(b, jnp.zeros_like(b))
     res_warm = solve(b, res_cold.x)
     assert int(res_warm.num_iters) <= 2
+
+
+if __name__ == "__main__":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    # Direct-run subset, mirroring the reference test files' __main__ blocks
+    # (reference tests/test_cg.py:227-255).
+    test_cg_residuals(seed=0, dim=10, tol=1e-5, atol=1e-6, precondition=True)
+    test_cg_m_hist(seed=0, dim=10, x0_none=False, precondition=False)
+    test_pcg_identity_and_inverse(seed=0, dim=10)
+    test_martens_criterion_triggers()
+    print("test_cg.py direct run: OK")

@@ -273,3 +273,13 @@ def test_cg_max_iter_none_uses_dimension():
         np.asarray(jnp.linalg.solve(A, -b)),
         atol=1e-6,
     )
+
+
+if __name__ == "__main__":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    # Direct-run subset (reference tests/test_optimizer.py:158-184).
+    test_on_quadratic_one_newton_step(seed=0, dim=5)
+    test_on_neural_network(seed=0, curvature_opt="ggn", preconditioning=True)
+    test_rosenbrock_converges()
+    print("test_optimizer.py direct run: OK")

@@ -7,6 +7,7 @@ checks the line search against a straightforward host-side replay of the
 reference algorithm (reference linesearch.py:8-103).
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -176,3 +177,12 @@ def test_linesearch_validates_params():
         simple_linesearch(lambda d: d[0], g, g, f_0=jnp.asarray(0.0), beta=1.5)
     with pytest.raises(ValueError):
         simple_linesearch(lambda d: d[0], g, g, f_0=jnp.asarray(0.0), c=-1.0)
+
+
+if __name__ == "__main__":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    test_efficient_backtracking_toy(mode="sequential")
+    test_exhaustive_backtracking_toy()
+    test_linesearch_matches_reference_replay(seed=0, mode="sequential")
+    print("test_select.py direct run: OK")

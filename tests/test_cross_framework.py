@@ -119,10 +119,12 @@ def _torch_grad_and_gv(tp, model, loss_outer, tx):
 # ---------------------------------------------------------------------------
 
 
-def _np_cg(A, b, x0, max_iter, tol=1e-5):
-    """Martens-terminated PCG, storage grid ceil(1.3^j)-1, no precond."""
+def _np_cg(A, b, x0, max_iter, tol=1e-5, M=None):
+    """Martens-terminated PCG, storage grid ceil(1.3^j)-1, optional precond."""
     from math import ceil, log
 
+    if M is None:
+        M = lambda v: v
     grid = sorted(
         {int(np.ceil(1.3**j) - 1) for j in range(ceil(log(max_iter + 1) / log(1.3)) + 1)}
     )
@@ -132,7 +134,7 @@ def _np_cg(A, b, x0, max_iter, tol=1e-5):
     stored = {0: x.copy()} if 0 in grid else {}
     r = A(x) - b
     m_hist = [0.5 * np.dot(r - b, x)]
-    y_ = r
+    y_ = M(r)
     ry = np.dot(r, y_)
     p = -y_
     it = 1
@@ -154,7 +156,7 @@ def _np_cg(A, b, x0, max_iter, tol=1e-5):
             break
         if np.linalg.norm(r) < res_bound:
             break
-        y_ = r
+        y_ = M(r)
         ry_new = np.dot(r, y_)
         beta = ry_new / ry
         ry = ry_new
@@ -191,14 +193,19 @@ def _np_linesearch(f, grad, step, f0, init_alpha=1.0, beta=0.8, c=1e-2, max_iter
     return 0.0, f0
 
 
-def _np_hf_step(tp, model, loss_outer, tx, x0, damping, cg_max_iter=30):
+def _np_hf_step(tp, model, loss_outer, tx, x0, damping, cg_max_iter=30,
+                precond_diag=None):
     """One full reference-semantics HF step (GGN) in numpy/torch.func."""
     init_loss, grad, gv = _torch_grad_and_gv(tp, model, loss_outer, tx)
 
     def A(v):
         return gv(v) + damping * v
 
-    x_final, stored, m_hist, final_iter = _np_cg(A, -grad, x0, cg_max_iter)
+    M = None
+    if precond_diag is not None:
+        M = lambda v: (precond_diag + damping) ** -0.75 * v
+    x_final, stored, m_hist, final_iter = _np_cg(A, -grad, x0, cg_max_iter,
+                                                 M=M)
     new_x0 = 0.95 * x_final
 
     def f(delta):
@@ -321,4 +328,74 @@ def test_two_step_trajectory_parity(seed):
         )
         np.testing.assert_allclose(
             np.asarray(ravel.ravel(p)), _t_ravel(tp).detach().numpy(), atol=1e-7
+        )
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_preconditioned_trajectory_parity(seed):
+    """Three PRECONDITIONED HF steps (empirical-Fisher diag each step): the
+    on-device pipeline must track the torch/NumPy replica through the
+    warm-start + damping interplay.  Capped at 3 steps: the warm-start
+    feedback amplifies last-bit fp differences geometrically (measured
+    3.5e-8 -> 4.8e-5 over 5 steps), while the damping DECISIONS stay in
+    exact lockstep throughout."""
+    Ws, bs, x, y = _make_problem(seed)
+    params, model_fn, mse, batch = _jax_setup(Ws, bs, x, y)
+    tp, tmodel, touter, tx = _torch_setup(Ws, bs, x, y)
+
+    from pytorchhessianfree_tpu import diag_EF
+
+    config = HFConfig(damping=0.1, cg_max_iter=30)
+    fns = HFModelFns(model_fn=model_fn, loss_outer=mse)
+    ravel = TrainableRavel(params)
+    step = make_hf_step(fns, config, ravel)
+
+    ty = torch.tensor(y, dtype=torch.float64)
+
+    def torch_diag_ef(tp):
+        def per_sample_loss(p, xi, yi):
+            return torch.mean((tmodel(p, xi.unsqueeze(0)) - yi.unsqueeze(0)) ** 2)
+
+        g = torch.func.vmap(
+            torch.func.grad(per_sample_loss), in_dims=(None, 0, 0)
+        )(tp, tx, ty)
+        n = tx.shape[0]
+        flat = torch.stack(
+            [torch.cat([g[k][i].reshape(-1) for k in KEYS]) for i in range(n)]
+        )
+        return (flat**2).sum(0).div(n).detach().numpy()
+
+    state = init_state(ravel, config)
+    x0 = np.zeros(ravel.dim)
+    damping = 0.1
+    p = params
+    for i in range(3):
+        j_diag = np.asarray(
+            diag_EF(model_fn, mse, p, batch[0], batch[1], "mean", ravel)
+        )
+        t_diag = torch_diag_ef(tp)
+        # exact at step 0 (measured 1e-16); later steps compare diagonals of
+        # slightly-diverged parameter trajectories (atol follows the 1e-6
+        # trajectory tolerance below)
+        np.testing.assert_allclose(j_diag, t_diag, rtol=1e-4, atol=1e-6)
+
+        p, state, stats = step(p, state, batch, precond_diag=jnp.asarray(j_diag))
+        tp, x0, damping, t_init, t_final = _np_hf_step(
+            tp, tmodel, touter, tx, x0, damping, precond_diag=t_diag
+        )
+        # fp drift between the two implementations compounds geometrically
+        # across steps (warm-start feedback); per-step tolerances bound that
+        # growth while the damping DECISIONS (discrete x1.5 / x2/3 choices)
+        # must stay exactly in lockstep
+        loss_rtol = [1e-9, 1e-6, 1e-4][i]
+        param_atol = [1e-6, 1e-5, 1e-3][i]
+        np.testing.assert_allclose(
+            float(stats.init_loss), t_init, rtol=loss_rtol
+        )
+        np.testing.assert_allclose(
+            float(state.damping), damping, rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(ravel.ravel(p)), _t_ravel(tp).detach().numpy(),
+            atol=param_atol, rtol=1e-3,
         )

@@ -77,6 +77,10 @@ class LineSearchConfig:
     # alpha satisfying the Armijo condition wins either way) and is usually
     # faster on TPU for small models.
     mode: str = "sequential"
+    # In batched mode, evaluate candidates in vmapped chunks of this size
+    # (bounds peak memory to batch_chunk trial parameter sets); None = all
+    # max_iter candidates in one sweep.
+    batch_chunk: Optional[int] = None
 
     def __post_init__(self):
         if self.beta >= 1.0:

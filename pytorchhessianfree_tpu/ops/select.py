@@ -18,7 +18,7 @@ candidate satisfying the Armijo condition in both modes.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -214,6 +214,7 @@ def simple_linesearch(
     c: float = 1e-2,
     max_iter: int = 20,
     mode: str = "sequential",
+    batch_chunk: Optional[int] = None,
 ) -> LinesearchResult:
     """Armijo backtracking line search (reference linesearch.py:8-103).
 
@@ -228,7 +229,9 @@ def simple_linesearch(
 
     The "batched" mode evaluates all ``max_iter`` candidate alphas in one
     vmapped sweep and picks the largest satisfying alpha -- the same choice
-    the sequential loop makes.
+    the sequential loop makes.  ``batch_chunk=k`` caps the sweep's memory
+    (k trial parameter sets live at once instead of max_iter) by scanning
+    vmapped chunks of k candidates -- the same selection, bounded memory.
     """
     if beta >= 1.0:
         raise ValueError(f"Invalid reduction factor beta = {beta}")
@@ -241,7 +244,18 @@ def simple_linesearch(
 
     if mode == "batched":
         alphas = init_alpha * (beta ** jnp.arange(max_iter, dtype=dtype))
-        f_vals = jax.vmap(lambda a: f(a * step))(alphas)
+        if batch_chunk is None or batch_chunk >= max_iter:
+            f_vals = jax.vmap(lambda a: f(a * step))(alphas)
+        else:
+            k = int(batch_chunk)
+            pad = (-max_iter) % k
+            # padded alphas re-evaluate the last candidate; discarded below
+            alphas_p = jnp.concatenate([alphas, jnp.full((pad,), alphas[-1])])
+            f_chunks = jax.lax.map(
+                lambda ac: jax.vmap(lambda a: f(a * step))(ac),
+                alphas_p.reshape(-1, k),
+            )
+            f_vals = f_chunks.reshape(-1)[:max_iter]
         accepts = f_vals <= f_0 + alphas * c_dir
         any_ok = jnp.any(accepts)
         first = jnp.argmax(accepts)  # smallest index = largest alpha

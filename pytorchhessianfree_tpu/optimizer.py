@@ -241,6 +241,7 @@ def _step_core(
             c=config.linesearch.c,
             max_iter=config.linesearch.max_iter,
             mode=config.linesearch.mode,
+            batch_chunk=config.linesearch.batch_chunk,
         )
         lr = ls.alpha
         final_loss = ls.f_alpha

@@ -186,3 +186,36 @@ if __name__ == "__main__":
     test_exhaustive_backtracking_toy()
     test_linesearch_matches_reference_replay(seed=0, mode="sequential")
     print("test_select.py direct run: OK")
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("chunk", [1, 3, 7, 50])
+def test_linesearch_chunked_batched_matches(seed, chunk):
+    """batch_chunk-ed batched sweeps must select exactly what the full
+    batched sweep (and hence the sequential loop) selects."""
+    rng = np.random.default_rng(seed)
+    dim = 6
+    R = rng.standard_normal((dim, dim))
+    A = R @ R.T + 0.5 * np.eye(dim)
+    g = rng.standard_normal(dim)
+
+    def f_jax(delta):
+        Aj = jnp.asarray(A)
+        gj = jnp.asarray(g)
+        return 0.5 * delta @ (Aj @ delta) + gj @ delta + 3.0
+
+    step = jnp.asarray(-3.0 * np.linalg.solve(A, g))
+    f_0 = jnp.asarray(float(f_jax(jnp.zeros(dim))))
+
+    full = simple_linesearch(
+        f_jax, jnp.asarray(g), step, f_0=f_0, init_alpha=1.0, mode="batched"
+    )
+    chunked = simple_linesearch(
+        f_jax, jnp.asarray(g), step, f_0=f_0, init_alpha=1.0,
+        mode="batched", batch_chunk=chunk,
+    )
+    np.testing.assert_allclose(float(chunked.alpha), float(full.alpha))
+    np.testing.assert_allclose(
+        float(chunked.f_alpha), float(full.f_alpha), rtol=1e-12
+    )
+    assert bool(chunked.failed) == bool(full.failed)

@@ -487,6 +487,7 @@ def make_hf_train_loop(
     ravel: TrainableRavel,
     precond_exponent: float = 0.75,
     donate: bool = False,
+    precond_ema_decay: Optional[float] = None,
 ):
     """Multi-step training as ONE compiled program: ``lax.scan`` over
     optimizer steps.
@@ -496,14 +497,41 @@ def make_hf_train_loop(
     pytree with a leading steps axis and runs every HF step on-device,
     returning stacked per-step :class:`HFStats`.  Host involvement per epoch:
     one dispatch.
+
+    ``precond_ema_decay``: maintain an exponential-moving-average
+    empirical-Fisher diagonal across the scanned steps (the on-device analog
+    of :class:`~pytorchhessianfree_tpu.ops.precond.EMADiag`) and precondition
+    every CG solve with it.  Requires the split model form.
     """
+    if precond_ema_decay is not None:
+        if not 0.0 <= precond_ema_decay < 1.0:
+            raise ValueError(f"Invalid decay {precond_ema_decay}")
+        if fns.model_fn is None or fns.loss_outer is None:
+            raise ValueError(
+                "precond_ema_decay requires the split model form "
+                "(per-sample gradients need model_fn + loss_outer)."
+            )
 
     @functools.partial(
         jax.jit, donate_argnums=(0, 1) if donate else ()
     )
     def loop(params, state, batches):
         def body(carry, batch):
-            p, s = carry
+            p, s, ema = carry
+            if precond_ema_decay is not None:
+                inputs, targets = batch
+                d = diag_EF(
+                    fns.model_fn, fns.loss_outer, p, inputs, targets,
+                    "mean", ravel,
+                )
+                ema = jnp.where(
+                    s.step_count == 0,
+                    d,
+                    precond_ema_decay * ema + (1.0 - precond_ema_decay) * d,
+                )
+                precond_diag = ema
+            else:
+                precond_diag = None
             p, s, stats = hf_step(
                 p,
                 s,
@@ -511,11 +539,15 @@ def make_hf_train_loop(
                 fns=fns,
                 config=config,
                 ravel=ravel,
+                precond_diag=precond_diag,
                 precond_exponent=precond_exponent,
             )
-            return (p, s), stats
+            return (p, s, ema), stats
 
-        (params, state), stats = jax.lax.scan(body, (params, state), batches)
+        ema0 = jnp.zeros((ravel.dim,), ravel.dtype)
+        (params, state, _), stats = jax.lax.scan(
+            body, (params, state, ema0), batches
+        )
         return params, state, stats
 
     return loop

@@ -46,3 +46,52 @@ def test_train_loop_matches_stepwise():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-9)
     assert int(s_loop.step_count) == 4
     assert stats.num_cg_iters.shape == (4,)
+
+
+def test_train_loop_ema_precond_matches_host_ema():
+    """The on-device EMA preconditioner inside the scanned loop must match
+    host-side EMADiag + per-step preconditioned steps."""
+    from pytorchhessianfree_tpu import diag_EF
+    from pytorchhessianfree_tpu.ops.precond import EMADiag
+
+    key = jax.random.PRNGKey(0)
+    params = init_mlp(key, dtype=jnp.float64)
+    fns = HFModelFns(model_fn=mlp_apply, loss_outer=mse_loss)
+    config = HFConfig(damping=0.5, cg_max_iter=25)
+    ravel = TrainableRavel(params)
+
+    xs = jax.random.normal(key, (4, 16, 7), jnp.float64)
+    ys = jax.random.normal(key, (4, 16, 3), jnp.float64)
+
+    loop = make_hf_train_loop(fns, config, ravel, precond_ema_decay=0.9)
+    p_loop, s_loop, stats = loop(params, init_state(ravel, config), (xs, ys))
+
+    step = make_hf_step(fns, config, ravel)
+    ema = EMADiag(decay=0.9)
+    p, s = params, init_state(ravel, config)
+    for i in range(4):
+        d = diag_EF(mlp_apply, mse_loss, p, xs[i], ys[i], "mean", ravel)
+        p, s, st = step(p, s, (xs[i], ys[i]), precond_diag=ema.update(d))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_loop), jax.tree_util.tree_leaves(p)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-10)
+    assert int(s_loop.step_count) == 4
+
+
+def test_train_loop_ema_requires_split_form():
+    import pytest
+
+    params = {"x": jnp.ones(3)}
+    fns = HFModelFns(loss_fn=lambda p, b: jnp.sum(p["x"] ** 2))
+    config = HFConfig(curvature_opt="hessian", damping=0.5)
+    ravel = TrainableRavel(params)
+    with pytest.raises(ValueError):
+        make_hf_train_loop(fns, config, ravel, precond_ema_decay=0.9)
+    with pytest.raises(ValueError):
+        make_hf_train_loop(
+            HFModelFns(model_fn=lambda p, x: x, loss_outer=lambda o, t: 0.0),
+            config,
+            ravel,
+            precond_ema_decay=1.5,
+        )

@@ -140,6 +140,44 @@ def test_dp_diag_ef_matches_single_device():
     )
 
 
+def test_dp_acc_step_matches_single_device():
+    """acc_step with each chunk's batch dimension sharded over the mesh
+    (gradient accumulation + data parallelism combined) must match the
+    single-device accumulated step."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pytorchhessianfree_tpu import hf_acc_step, init_state
+
+    params, x, y = _problem(7, N=32)
+    fns, config = _setup("ggn")
+    ravel = TrainableRavel(params)
+    mesh = make_mesh(8)
+
+    data = (x.reshape(2, 16, 7), y.reshape(2, 16, 3))
+
+    def acc(params, state, data):
+        return hf_acc_step(
+            params, state, fns=fns, config=config, ravel=ravel,
+            loss_data=data, reduction="mean",
+        )
+
+    p_s, s_s, st_s = jax.jit(acc)(params, init_state(ravel, config), data)
+
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(None, "data"))  # shard within each chunk
+    p_d, s_d, st_d = jax.jit(acc, out_shardings=repl)(
+        jax.device_put(params, repl),
+        jax.device_put(init_state(ravel, config), repl),
+        jax.tree_util.tree_map(lambda a: jax.device_put(a, shard), data),
+    )
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_s), jax.tree_util.tree_leaves(p_d)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-8)
+    assert int(st_s.num_cg_iters) == int(st_d.num_cg_iters)
+
+
 def test_mesh_helpers():
     from pytorchhessianfree_tpu.parallel.mesh import shard_batch
 

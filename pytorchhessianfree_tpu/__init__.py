@@ -14,6 +14,7 @@ from .config import CGConfig, HFConfig, LineSearchConfig
 from .ops.cg import CG_REASON_STRINGS, CGResult, cg, cg_reason_str, storing_grid
 from .ops.curvature import ggnvp_fn, hvp_fn
 from .ops.precond import (
+    EMADiag,
     diag_EF,
     diag_EF_preconditioner,
     diag_EF_scan,
@@ -27,7 +28,14 @@ from .ops.select import (
     simple_linesearch,
 )
 from . import checkpoint
-from .accumulate import acc_grad, acc_loss, acc_reduce, make_acc_mvp
+from .accumulate import (
+    acc_grad,
+    acc_loss,
+    acc_reduce,
+    make_acc_mvp,
+    pad_ragged_datalist,
+    weighted_fns,
+)
 from .optimizer import (
     HessianFree,
     HFModelFns,
@@ -83,5 +91,8 @@ __all__ = [
     "acc_loss",
     "acc_reduce",
     "make_acc_mvp",
+    "pad_ragged_datalist",
+    "weighted_fns",
+    "EMADiag",
     "TrainableRavel",
 ]

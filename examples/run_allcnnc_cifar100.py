@@ -42,17 +42,17 @@ if __name__ == "__main__":
     key = jax.random.PRNGKey(0)
     params = init_allcnnc(key, num_classes=100)
 
-    # L2-regularized loss (DeepOBS style): the regularizer rides on the
-    # model_fn/loss split by folding into loss_outer via a closure over
-    # params is NOT possible functionally -- instead it enters through the
-    # full-loss path used by gradients and trial evaluations.  For GGN
-    # parity with the reference, the curvature comes from the unregularized
-    # output Hessian either way (an additive L2 term has zero curvature
-    # through the outputs).
-    def loss_outer(outputs, targets):
-        return cross_entropy_loss(outputs, targets)
-
-    fns = HFModelFns(model_fn=allcnnc_apply, loss_outer=loss_outer)
+    # L2-regularized loss (DeepOBS style, reference
+    # examples/run_allcnnc_cifar100_deepobs.py:23-31): loss_reg enters the
+    # gradient, the LM reduction ratio, CG-backtracking and the line search,
+    # while GGN curvature keeps flowing through the outputs only (an
+    # additive params-only term has zero curvature through the outputs --
+    # the reference's exact behavior with a regularized forward closure).
+    fns = HFModelFns(
+        model_fn=allcnnc_apply,
+        loss_outer=cross_entropy_loss,
+        loss_reg=l2_regularizer,
+    )
     config = HFConfig(damping=1.0, cg_max_iter=50)
     ravel = TrainableRavel(params)
     state = init_state(ravel, config)

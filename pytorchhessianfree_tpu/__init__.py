@@ -29,6 +29,7 @@ from .ops.select import (
 )
 from . import checkpoint
 from .accumulate import (
+    StackedData,
     acc_grad,
     acc_loss,
     acc_reduce,
@@ -38,11 +39,13 @@ from .accumulate import (
 )
 from .optimizer import (
     HessianFree,
+    HFDetail,
     HFModelFns,
     HFState,
     HFStats,
     check_deterministic,
     check_reduction,
+    format_rich_stats,
     hf_acc_step,
     hf_step,
     init_state,
@@ -78,6 +81,8 @@ __all__ = [
     "HFModelFns",
     "HFState",
     "HFStats",
+    "HFDetail",
+    "format_rich_stats",
     "check_deterministic",
     "check_reduction",
     "checkpoint",
@@ -90,6 +95,7 @@ __all__ = [
     "acc_grad",
     "acc_loss",
     "acc_reduce",
+    "StackedData",
     "make_acc_mvp",
     "pad_ragged_datalist",
     "weighted_fns",

@@ -25,7 +25,7 @@ path in ``parallel/`` is the scalable alternative.
 
 from __future__ import annotations
 
-from typing import Any, Callable, List, Sequence, Tuple, Union
+from typing import Any, Callable, List, NamedTuple, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +37,25 @@ from .utils.flatten import TrainableRavel
 Datalist = Union[Tuple[jax.Array, jax.Array], Sequence[Tuple[jax.Array, jax.Array]]]
 
 
+class StackedData(NamedTuple):
+    """Explicitly-marked stacked datalist: ``inputs [C, N, ...]`` plus a
+    targets pytree whose leaves are ``[C, N, ...]``.
+
+    A plain ``(inputs, targets)`` 2-tuple is *also* accepted as stacked for
+    backward compatibility, but the structural sniffing cannot distinguish a
+    stacked datalist from one single batch -- a single batch passed where a
+    datalist is expected would be silently re-chunked with the batch axis as
+    the chunk axis.  Pass ``StackedData(xs, ys)`` (or a one-element list
+    ``[(x, y)]`` for a single chunk) to be unambiguous.
+    """
+
+    inputs: Any
+    targets: Any
+
+
 def _is_stacked(data: Datalist) -> bool:
+    if isinstance(data, StackedData):
+        return True
     return (
         isinstance(data, tuple)
         and len(data) == 2
@@ -104,7 +122,7 @@ def acc_reduce(
     total = None
     num_data = 0
     for x, y in data:
-        N = int(y.shape[0])
+        N = int(_first_leaf(y).shape[0])
         num_data += N
         r = eval_chunk(x, y)
         w = N if reduction == "mean" else 1
@@ -122,22 +140,36 @@ def acc_reduce(
 def acc_loss(
     fns, params, data: Datalist, reduction: str
 ) -> jax.Array:
-    """Accumulated loss (reference optimizer.py:686-723)."""
-    return acc_reduce(
-        data, lambda x, y: fns.full_loss(params, (x, y)), reduction
+    """Accumulated loss (reference optimizer.py:686-723).
+
+    A params-dependent regularizer (``fns.loss_reg``) is added ONCE after
+    the chunked accumulation -- it does not depend on the data, so weighting
+    it per chunk would scale it by the chunk count under "sum" (the
+    reference's ``acc_step`` has no regularizer hook at all; this is the
+    rebuild's consistent extension of its weighted-sum semantics).
+    """
+    loss = acc_reduce(
+        data, lambda x, y: fns.data_loss(params, (x, y)), reduction
     )
+    if fns.loss_reg is not None:
+        loss = loss + fns.loss_reg(params)
+    return loss
 
 
 def acc_grad(
     fns, params, data: Datalist, reduction: str, ravel: TrainableRavel
 ) -> jax.Array:
-    """Accumulated flat gradient (reference optimizer.py:725-765)."""
+    """Accumulated flat gradient (reference optimizer.py:725-765); the
+    regularizer gradient is added once after the chunked accumulation."""
 
     def chunk_grad(x, y):
-        g = jax.grad(lambda p: fns.full_loss(p, (x, y)))(params)
+        g = jax.grad(lambda p: fns.data_loss(p, (x, y)))(params)
         return ravel.ravel(g)
 
-    return acc_reduce(data, chunk_grad, reduction)
+    grad = acc_reduce(data, chunk_grad, reduction)
+    if fns.loss_reg is not None:
+        grad = grad + ravel.ravel(jax.grad(fns.loss_reg)(params))
+    return grad
 
 
 def make_acc_mvp(
@@ -163,7 +195,7 @@ def make_acc_mvp(
     """
     if amortize and config.curvature_opt == "ggn" and _is_stacked(data):
         xs, ys = data
-        C = ys.shape[0]
+        C = _first_leaf(ys).shape[0]  # targets may be a pytree
         w = 1.0 / C if reduction == "mean" else 1.0
 
         def total_model(p):
@@ -193,10 +225,17 @@ def make_acc_mvp(
                     params,
                 )
                 return ravel.ravel(gv(tangent))
-            _, _, hv = hvp_fn(lambda p: fns.full_loss(p, (x, y)), params)
+            _, _, hv = hvp_fn(lambda p: fns.data_loss(p, (x, y)), params)
             return ravel.ravel(hv(tangent))
 
-        return acc_reduce(data, chunk_mvp, reduction)
+        out = acc_reduce(data, chunk_mvp, reduction)
+        if config.curvature_opt == "hessian" and fns.loss_reg is not None:
+            # The Hessian of the regularized objective includes the reg
+            # Hessian exactly once (matching the single-batch Hessian path);
+            # the GGN excludes it by definition (curvature through outputs).
+            reg_hv = jax.jvp(jax.grad(fns.loss_reg), (params,), (tangent,))[1]
+            out = out + ravel.ravel(reg_hv)
+        return out
 
     return mvp
 
@@ -262,10 +301,16 @@ def weighted_fns(model_fn, per_sample_loss, total, reduction: str = "mean"):
     return HFModelFns(model_fn=model_fn, loss_outer=loss_outer)
 
 
-def concat_datalist(data: Datalist) -> Tuple[jax.Array, jax.Array]:
+def concat_datalist(data: Datalist) -> Tuple[Any, Any]:
     """Concatenate a datalist into one big batch (used by the reduction
-    self-test, reference optimizer.py:870-877)."""
+    self-test, reference optimizer.py:870-877).
+
+    Inputs and targets may be pytrees (e.g. the ``(targets, weights)`` layout
+    produced by :func:`pad_ragged_datalist` / :func:`weighted_fns`); every
+    leaf is concatenated along its leading axis.
+    """
     chunks = _chunks(data)
-    xs = jnp.concatenate([x for x, _ in chunks], axis=0)
-    ys = jnp.concatenate([y for _, y in chunks], axis=0)
+    cat = lambda *leaves: jnp.concatenate(leaves, axis=0)
+    xs = jax.tree_util.tree_map(cat, *[x for x, _ in chunks])
+    ys = jax.tree_util.tree_map(cat, *[y for _, y in chunks])
     return xs, ys

@@ -109,6 +109,22 @@ class HFConfig:
     lr: float = 1.0
     use_linesearch: bool = True
     verbose: bool = False
+    # Fuse all trial-loss evaluations (LM f(warm start), the backtracking
+    # reverse walk, the Armijo line search) into ONE while_loop whose body
+    # contains a single traced forward pass (ops.select.fused_trials).
+    # Identical evaluation points and selections -- this is a COMPILE-time
+    # optimization (one forward graph in the step program instead of four),
+    # applied whenever both select modes are "sequential".  Disable to fall
+    # back to the standalone loops (e.g. for profiling them separately).
+    fused_trials: bool = True
+    # Opt-in solver-depth observability: the step's HFStats gains a `detail`
+    # record (HFDetail) with the CG m-history, the evaluated backtracking
+    # candidates and the line-search alpha trace -- the data behind the
+    # reference's verbose per-iteration lines / tables (reference
+    # cg.py:202-203, cg_backtracking.py:100-110, linesearch.py:57-102),
+    # collected on-device with zero extra forwards.  `format_rich_stats`
+    # pretty-prints it in the reference's table style.
+    rich_stats: bool = False
     # Unlike the reference -- which only evaluates the post-update loss when
     # `verbose` or when the line search already produced it
     # (reference optimizer.py:329, :353-356) -- we always report a final loss

@@ -22,21 +22,32 @@ from .resnet import _conv_init, conv
 
 
 def init_allcnnc(
-    key, num_classes: int = 100, in_channels: int = 3, dtype=jnp.float32
+    key,
+    num_classes: int = 100,
+    in_channels: int = 3,
+    dtype=jnp.float32,
+    width_scale: float = 1.0,
 ) -> Any:
     """All-CNN-C: three 3-conv blocks (96, 96, 96/2 | 192, 192, 192/2 |
-    192-valid, 1x1 192, 1x1 num_classes) + global average pooling."""
+    192-valid, 1x1 192, 1x1 num_classes) + global average pooling.
+
+    ``width_scale`` shrinks the channel widths (same topology) for
+    fast-compile smoke/dryrun configurations; 1.0 is the paper/DeepOBS
+    model.
+    """
     keys = jax.random.split(key, 9)
+    c96 = max(1, round(96 * width_scale))
+    c192 = max(1, round(192 * width_scale))
     widths = [
-        (3, in_channels, 96),
-        (3, 96, 96),
-        (3, 96, 96),
-        (3, 96, 192),
-        (3, 192, 192),
-        (3, 192, 192),
-        (3, 192, 192),
-        (1, 192, 192),
-        (1, 192, num_classes),
+        (3, in_channels, c96),
+        (3, c96, c96),
+        (3, c96, c96),
+        (3, c96, c192),
+        (3, c192, c192),
+        (3, c192, c192),
+        (3, c192, c192),
+        (1, c192, c192),
+        (1, c192, num_classes),
     ]
     convs = []
     for k, (ksz, cin, cout) in zip(keys, widths):

@@ -32,18 +32,28 @@ def hvp_fn(
 ) -> Tuple[jax.Array, Any, Callable[[Any], Any]]:
     """Build the Hessian-vector product for ``loss_fn`` at ``params``.
 
-    Forward-over-reverse: ``Hv = jvp(grad(f), params, v)``.  Semantically
-    equivalent to the reference's double-backward ``_Hv``
-    (reference optimizer.py:450-455).
+    Forward-over-reverse, AMORTIZED: ``jax.linearize`` of
+    ``value_and_grad(loss_fn)`` runs the nonlinear primal (forward +
+    backward) ONCE per batch and stores its residuals; every subsequent
+    ``hvp(v)`` call replays only the linear tangent computation.  This is
+    the Hessian-path analog of the reference's retained autodiff graph --
+    the gradient is computed with ``create_graph=True, retain_graph=True``
+    so the same graph serves every CG matvec on that batch (reference
+    optimizer.py:231-233, :450-455) -- and of this module's GGN
+    linearization below.
 
     Returns:
         ``(loss, grad, hvp)`` where ``hvp(v)`` maps a tangent pytree ``v`` to
         ``H @ v`` as a pytree.
     """
-    loss, grad = jax.value_and_grad(loss_fn)(params)
+    (loss, grad), tangent_fn = jax.linearize(
+        jax.value_and_grad(loss_fn), params
+    )
 
     def hvp(v: Any) -> Any:
-        return jax.jvp(jax.grad(loss_fn), (params,), (v,))[1]
+        # tangent of (loss, grad) is (grad . v, H @ v); the scalar first
+        # component is dead code XLA drops
+        return tangent_fn(v)[1]
 
     return loss, grad, hvp
 

@@ -30,6 +30,7 @@ def _per_sample_grad_fn(
     model_fn: Callable[[Any, Any], Any],
     loss_outer: Callable[[Any, Any], jax.Array],
     ravel: TrainableRavel,
+    loss_reg: Optional[Callable[[Any], jax.Array]] = None,
 ):
     """Gradient of the single-sample loss, as a flat vector.
 
@@ -38,11 +39,19 @@ def _per_sample_grad_fn(
     batch loss function to one sample (reference preconditioners.py:95-98);
     with ``N = 1`` the "mean" and "sum" reductions coincide, so the same
     function serves both.
+
+    When ``loss_reg`` is given, each per-sample gradient includes the FULL
+    regularizer gradient -- exactly the reference ``diag_EF_autograd``
+    semantics with an L2-regularized loss closure (the reg term rides every
+    per-sample loss evaluation, reference preconditioners.py:22-24, :95-98).
     """
 
     def one_sample_loss(params, x, y):
         outputs = model_fn(params, x[None])
-        return loss_outer(outputs, y[None])
+        loss = loss_outer(outputs, y[None])
+        if loss_reg is not None:
+            loss = loss + loss_reg(params)
+        return loss
 
     def one_sample_grad(params, x, y):
         return ravel.ravel(jax.grad(one_sample_loss)(params, x, y))
@@ -58,11 +67,15 @@ def diag_EF(
     targets: jax.Array,
     reduction: str,
     ravel: TrainableRavel,
+    loss_reg: Optional[Callable[[Any], jax.Array]] = None,
 ) -> jax.Array:
     """Diagonal of the empirical Fisher via ``vmap(grad)`` -- the fast path.
 
     Functional replacement for ``diag_EF_backpack``
-    (reference preconditioners.py:11-60).
+    (reference preconditioners.py:11-60); with ``loss_reg`` it follows the
+    reference's *autograd* variant, the one documented to support
+    L2-regularized losses (reference preconditioners.py:22-24): the shared
+    reg gradient is added to every per-sample gradient before squaring.
     """
     if reduction not in ("mean", "sum"):
         raise ValueError(f"reduction {reduction} is not supported.")
@@ -70,6 +83,10 @@ def diag_EF(
     grads = jax.vmap(one_sample_grad, in_axes=(None, 0, 0))(
         params, inputs, targets
     )  # [N, dim]
+    if loss_reg is not None:
+        # one reg gradient, broadcast into all N rows (cheaper than
+        # differentiating the reg term per sample)
+        grads = grads + ravel.ravel(jax.grad(loss_reg)(params))[None, :]
     diag = jnp.sum(grads**2, axis=0)
     if reduction == "mean":
         diag = diag / inputs.shape[0]
@@ -84,6 +101,7 @@ def diag_EF_scan(
     targets: jax.Array,
     reduction: str,
     ravel: TrainableRavel,
+    loss_reg: Optional[Callable[[Any], jax.Array]] = None,
 ) -> jax.Array:
     """Memory-lean diagonal empirical Fisher via ``lax.scan`` over samples.
 
@@ -94,10 +112,17 @@ def diag_EF_scan(
     if reduction not in ("mean", "sum"):
         raise ValueError(f"reduction {reduction} is not supported.")
     one_sample_grad = _per_sample_grad_fn(model_fn, loss_outer, ravel)
+    reg_grad = (
+        ravel.ravel(jax.grad(loss_reg)(params))
+        if loss_reg is not None
+        else None
+    )
 
     def body(acc, xy):
         x, y = xy
         g = one_sample_grad(params, x, y)
+        if reg_grad is not None:
+            g = g + reg_grad
         return acc + g**2, None
 
     diag, _ = jax.lax.scan(body, ravel.zeros(), (inputs, targets))
@@ -157,6 +182,7 @@ def diag_EF_preconditioner(
     exponent: Optional[float] = None,
     ravel: Optional[TrainableRavel] = None,
     use_scan: bool = False,
+    loss_reg: Optional[Callable[[Any], jax.Array]] = None,
 ) -> Tuple[Callable[[jax.Array], jax.Array], jax.Array]:
     """Compose the empirical-Fisher diagonal with the preconditioner closure
     (reference preconditioners.py:130-159).
@@ -170,7 +196,10 @@ def diag_EF_preconditioner(
     if ravel is None:
         ravel = TrainableRavel(params)
     fn = diag_EF_scan if use_scan else diag_EF
-    diag = fn(model_fn, loss_outer, params, inputs, targets, reduction, ravel)
+    diag = fn(
+        model_fn, loss_outer, params, inputs, targets, reduction, ravel,
+        loss_reg=loss_reg,
+    )
     if exponent is None:
         M_func = diag_to_preconditioner(diag, damping)
     else:

@@ -31,7 +31,11 @@ from .ops import cg as cg_mod
 from .ops.cg import cg
 from .ops.curvature import ggnvp_fn, hvp_fn
 from .ops.precond import diag_EF, diag_EF_scan, diag_to_preconditioner
-from .ops.select import cg_efficient_backtracking, simple_linesearch
+from .ops.select import (
+    cg_efficient_backtracking,
+    fused_trials,
+    simple_linesearch,
+)
 from .utils.flatten import TrainableRavel
 
 
@@ -74,6 +78,25 @@ class HFStats(NamedTuple):
     rho_negative: jax.Array  # bool
     linesearch_failed: jax.Array  # bool
     not_descent_direction: jax.Array  # bool
+    # Solver-depth record (HFDetail) when config.rich_stats, else None --
+    # the on-device analog of the reference's per-CG-iteration lines,
+    # backtracking table and line-search trace (reference cg.py:202-203,
+    # cg_backtracking.py:100-110, linesearch.py:57-102).
+    detail: Any = None
+
+
+class HFDetail(NamedTuple):
+    """Opt-in per-phase solver trace (``HFConfig.rich_stats=True``).
+
+    All arrays are static-shaped with NaN in never-evaluated slots; valid
+    entries of ``m_hist`` are ``0..num_cg_iters``.
+    """
+
+    m_hist: jax.Array  # [cg_max_iter + 1] quadratic values m(x_i)
+    cand_iters: jax.Array  # [G+1] int32 CG iteration per candidate (last=final)
+    bt_f: jax.Array  # [G+1] backtracking losses (NaN = skipped by early exit)
+    ls_alphas: jax.Array  # [ls_max_iter] trial step sizes (NaN = not tried)
+    ls_f: jax.Array  # [ls_max_iter] losses at the trials
 
 
 class HFModelFns(NamedTuple):
@@ -87,17 +110,37 @@ class HFModelFns(NamedTuple):
       ``(inputs, targets)`` tuple.
     - direct form (Hessian-only workloads such as Rosenbrock):
       ``loss_fn(params, batch) -> scalar``.
+
+    ``loss_reg(params) -> scalar`` is an optional params-dependent loss term
+    (e.g. L2 weight decay).  It is folded into every *loss* evaluation --
+    the gradient, the LM reduction ratio, CG-backtracking and the line
+    search all see the regularized objective -- while GGN curvature keeps
+    flowing through the model outputs only, exactly the reference's
+    behavior with a DeepOBS-style regularized loss closure
+    (reference examples/example_utils.py:76-81: the reg term rides the live
+    model parameters; reference optimizer.py:457-462: ``_Gv`` differentiates
+    w.r.t. ``outputs``, so an additive params-only term contributes zero GGN
+    curvature).  The Hessian path ("hessian") differentiates the full
+    regularized loss, again like the reference's double backward.
     """
 
     model_fn: Optional[Callable[[Any, Any], Any]] = None
     loss_outer: Optional[Callable[[Any, Any], jax.Array]] = None
     loss_fn: Optional[Callable[[Any, Any], jax.Array]] = None
+    loss_reg: Optional[Callable[[Any], jax.Array]] = None
 
-    def full_loss(self, params, batch):
+    def data_loss(self, params, batch):
+        """Loss WITHOUT the params-dependent regularizer (per-batch part)."""
         if self.loss_fn is not None:
             return self.loss_fn(params, batch)
         inputs, targets = batch
         return self.loss_outer(self.model_fn(params, inputs), targets)
+
+    def full_loss(self, params, batch):
+        loss = self.data_loss(params, batch)
+        if self.loss_reg is not None:
+            loss = loss + self.loss_reg(params)
+        return loss
 
 
 def init_state(
@@ -195,32 +238,116 @@ def _step_core(
     # (reference optimizer.py:279-281).
     new_x0 = jnp.asarray(config.cg_decay_x0, cgres.x.dtype) * cgres.x
 
-    # CG-backtracking (reference optimizer.py:311-318).  Run before the LM
-    # heuristic so its (always-evaluated) loss at the final iterate can be
-    # reused as the heuristic's f_step -- the same value the reference
-    # computes twice (optimizer.py:303 and the first backtracking candidate).
-    if config.use_cg_backtracking:
-        with jax.named_scope("hf_cg_backtracking"):
-            bt = cg_efficient_backtracking(
-                loss_at, cgres, mode=config.backtracking_mode
+    use_fused = (
+        config.fused_trials
+        and config.backtracking_mode == "sequential"
+        and config.linesearch.mode == "sequential"
+    )
+
+    if use_fused:
+        # All trial-loss phases -- f(warm start) for the LM heuristic, the
+        # backtracking reverse walk, the Armijo line search (reference
+        # optimizer.py:299-340) -- as ONE while_loop with a single traced
+        # forward of the model (ops.select.fused_trials).  Identical
+        # evaluation points and selections; 3 fewer forward graphs in the
+        # compiled step.
+        with jax.named_scope("hf_fused_trials"):
+            ft = fused_trials(
+                loss_at,
+                cgres,
+                state.x0,
+                grad_vec,
+                init_loss,
+                eval_f0=config.adapt_damping,
+                use_backtracking=config.use_cg_backtracking,
+                eval_fstep=config.adapt_damping,
+                use_linesearch=config.use_linesearch,
+                compute_final_loss=config.compute_final_loss,
+                init_alpha=config.lr,
+                beta=config.linesearch.beta,
+                c=config.linesearch.c,
+                ls_max_iter=config.linesearch.max_iter,
             )
-        step_vec = bt.step
-        best_cg_iter = bt.best_iter
-        f_at_final = bt.f_final
+        step_vec = ft.step
+        best_cg_iter = ft.best_iter
+        f_0 = ft.f0_warm
+        f_at_final = ft.f_final
+        lr = ft.alpha
+        final_loss = ft.f_alpha
+        ls_failed = ft.ls_failed
+        not_descent = ft.not_descent
+        bt_f_detail = ft.bt_f
+        ls_alphas_detail = ft.ls_alphas
+        ls_f_detail = ft.ls_f
+        if not config.use_linesearch and not config.compute_final_loss:
+            final_loss = jnp.asarray(jnp.nan, init_loss.dtype)
     else:
-        step_vec = cgres.x
-        best_cg_iter = cgres.num_iters
-        f_at_final = None
+        # Standalone loops (batched select modes, or fused_trials=False).
+        # CG-backtracking (reference optimizer.py:311-318) runs before the
+        # LM heuristic so its (always-evaluated) loss at the final iterate
+        # can be reused as the heuristic's f_step -- the same value the
+        # reference computes twice (optimizer.py:303 and the first
+        # backtracking candidate).
+        if config.use_cg_backtracking:
+            with jax.named_scope("hf_cg_backtracking"):
+                bt = cg_efficient_backtracking(
+                    loss_at, cgres, mode=config.backtracking_mode
+                )
+            step_vec = bt.step
+            best_cg_iter = bt.best_iter
+            f_at_final = bt.f_final
+            bt_f_detail = bt.f_vals
+        else:
+            step_vec = cgres.x
+            best_cg_iter = cgres.num_iters
+            f_at_final = None
+            bt_f_detail = None
+
+        if config.adapt_damping:
+            f_0 = loss_at(state.x0)  # loss at x_iters[0] = the warm start
+            if f_at_final is None:
+                f_at_final = loss_at(cgres.x)
+        else:
+            f_0 = None
+
+        # Line search (reference optimizer.py:323-340).
+        if config.use_linesearch:
+            with jax.named_scope("hf_linesearch"):
+                ls = simple_linesearch(
+                    loss_at,
+                    grad_vec,
+                    step_vec,
+                    f_0=init_loss,
+                    init_alpha=config.lr,
+                    beta=config.linesearch.beta,
+                    c=config.linesearch.c,
+                    max_iter=config.linesearch.max_iter,
+                    mode=config.linesearch.mode,
+                    batch_chunk=config.linesearch.batch_chunk,
+                )
+            lr = ls.alpha
+            final_loss = ls.f_alpha
+            ls_failed = ls.failed
+            not_descent = ls.not_descent
+            ls_alphas_detail = ls.alphas
+            ls_f_detail = ls.f_trace
+        else:
+            lr = jnp.asarray(config.lr, step_vec.dtype)
+            if config.compute_final_loss:
+                final_loss = loss_at(lr * step_vec)
+            else:
+                final_loss = jnp.asarray(jnp.nan, init_loss.dtype)
+            ls_failed = jnp.asarray(False)
+            not_descent = jnp.asarray(False)
+            ls_alphas_detail = None
+            ls_f_detail = None
 
     # LM damping adaptation (reference optimizer.py:299-306).
     if config.adapt_damping:
         with jax.named_scope("hf_adapt_damping"):
-            f_0 = loss_at(state.x0)  # loss at x_iters[0] = the warm start
-            f_step = (
-                f_at_final if f_at_final is not None else loss_at(cgres.x)
-            )
             rho, new_damping = _adapt_damping(
-                config, damping, f_0, f_step, cgres.m_hist[0], cgres.m_final
+                config, damping, f_0, f_at_final, cgres.m_hist[0],
+                cgres.m_final,
             )
         rho_negative = rho < 0
     else:
@@ -228,36 +355,39 @@ def _step_core(
         new_damping = damping
         rho_negative = jnp.asarray(False)
 
-    # Line search (reference optimizer.py:323-340).
-    if config.use_linesearch:
-        with jax.named_scope("hf_linesearch"):
-            ls = simple_linesearch(
-            loss_at,
-            grad_vec,
-            step_vec,
-            f_0=init_loss,
-            init_alpha=config.lr,
-            beta=config.linesearch.beta,
-            c=config.linesearch.c,
-            max_iter=config.linesearch.max_iter,
-            mode=config.linesearch.mode,
-            batch_chunk=config.linesearch.batch_chunk,
-        )
-        lr = ls.alpha
-        final_loss = ls.f_alpha
-        ls_failed = ls.failed
-        not_descent = ls.not_descent
-    else:
-        lr = jnp.asarray(config.lr, step_vec.dtype)
-        if config.compute_final_loss:
-            final_loss = loss_at(lr * step_vec)
-        else:
-            final_loss = jnp.asarray(jnp.nan, init_loss.dtype)
-        ls_failed = jnp.asarray(False)
-        not_descent = jnp.asarray(False)
-
     # Parameter update (reference optimizer.py:349-350) -- functional.
     new_params = ravel.add(params, lr * step_vec)
+
+    if config.rich_stats:
+        nanv = jnp.asarray(jnp.nan, grad_vec.dtype)
+        cand_iters = jnp.concatenate(
+            [
+                jnp.asarray(cgres.stored_iters, jnp.int32).reshape(-1),
+                cgres.num_iters.reshape(1).astype(jnp.int32),
+            ]
+        )
+        G1 = cand_iters.shape[0]
+        detail = HFDetail(
+            m_hist=cgres.m_hist,
+            cand_iters=cand_iters,
+            bt_f=(
+                bt_f_detail
+                if bt_f_detail is not None
+                else jnp.full((G1,), nanv)
+            ),
+            ls_alphas=(
+                ls_alphas_detail
+                if ls_alphas_detail is not None
+                else jnp.zeros((0,), grad_vec.dtype)
+            ),
+            ls_f=(
+                ls_f_detail
+                if ls_f_detail is not None
+                else jnp.zeros((0,), grad_vec.dtype)
+            ),
+        )
+    else:
+        detail = None
 
     new_state = HFState(
         x0=new_x0, damping=new_damping, step_count=state.step_count + 1
@@ -276,6 +406,7 @@ def _step_core(
         rho_negative=rho_negative,
         linesearch_failed=ls_failed,
         not_descent_direction=not_descent,
+        detail=detail,
     )
     return new_params, new_state, stats
 
@@ -324,6 +455,18 @@ def _build_matvec_and_grad(
             return fns.loss_outer(out, targets)
 
         loss, _outputs, grad_tree, mvp_tree = ggnvp_fn(model_at, outer, params)
+
+        if fns.loss_reg is not None:
+            # Regularized objective: loss and gradient include the
+            # params-dependent term; the GGN matvec does NOT (it flows
+            # through the outputs, where an additive params-only term has
+            # zero curvature -- reference optimizer.py:457-462 behavior
+            # with the regularized forward closure).
+            reg_val, reg_grad = jax.value_and_grad(fns.loss_reg)(params)
+            loss = loss + reg_val
+            grad_tree = jax.tree_util.tree_map(
+                jnp.add, grad_tree, reg_grad
+            )
 
         if cdtype is not None:
             lp_inputs = cast(inputs, cdtype)
@@ -417,7 +560,7 @@ def hf_step(
         inputs, targets = batch
         diag = diag_EF(
             fns.model_fn, fns.loss_outer, params, inputs, targets,
-            config.precond_reduction, ravel,
+            config.precond_reduction, ravel, loss_reg=fns.loss_reg,
         )
         M = diag_to_preconditioner(
             diag, state.damping, config.precond_exponent
@@ -517,18 +660,23 @@ def make_hf_train_loop(
     )
     def loop(params, state, batches):
         def body(carry, batch):
-            p, s, ema = carry
+            p, s, ema, ema_ready = carry
             if precond_ema_decay is not None:
                 inputs, targets = batch
                 d = diag_EF(
                     fns.model_fn, fns.loss_outer, p, inputs, targets,
                     "mean", ravel,
                 )
+                # A loop-local "EMA seeded" flag (NOT step_count == 0): when
+                # the loop resumes from a checkpoint with step_count > 0, the
+                # first real diagonal must still seed the EMA rather than be
+                # blended with the zero init.
                 ema = jnp.where(
-                    s.step_count == 0,
-                    d,
+                    ema_ready,
                     precond_ema_decay * ema + (1.0 - precond_ema_decay) * d,
+                    d,
                 )
+                ema_ready = jnp.asarray(True)
                 precond_diag = ema
             else:
                 precond_diag = None
@@ -542,11 +690,11 @@ def make_hf_train_loop(
                 precond_diag=precond_diag,
                 precond_exponent=precond_exponent,
             )
-            return (p, s, ema), stats
+            return (p, s, ema, ema_ready), stats
 
         ema0 = jnp.zeros((ravel.dim,), ravel.dtype)
-        (params, state, _), stats = jax.lax.scan(
-            body, (params, state, ema0), batches
+        (params, state, _, _), stats = jax.lax.scan(
+            body, (params, state, ema0, jnp.asarray(False)), batches
         )
         return params, state, stats
 
@@ -664,6 +812,48 @@ def make_hf_acc_step(
     return step
 
 
+def format_rich_stats(stats: HFStats) -> str:
+    """Pretty-print an ``HFStats.detail`` record in the reference's verbose
+    style: per-CG-iteration m-values (reference cg.py:202-203), the
+    backtracking table (reference cg_backtracking.py:100-110) and the
+    line-search trace (reference linesearch.py:57-102)."""
+    import numpy as np
+
+    d = stats.detail
+    if d is None:
+        return "(no detail recorded -- set HFConfig.rich_stats=True)"
+    out = []
+    num = int(stats.num_cg_iters)
+    m = np.asarray(d.m_hist)
+    out.append(f"CG m-history ({num} iterations):")
+    for i in range(num + 1):
+        out.append(f"  cg-iter {i:4d}  m = {m[i]: .9e}")
+
+    out.append("Backtracking (reverse walk, NaN = skipped by early exit):")
+    cand = np.asarray(d.cand_iters)
+    bt = np.asarray(d.bt_f)
+    best = int(stats.best_cg_iter)
+    for j in range(len(cand) - 1, -1, -1):
+        if j < len(cand) - 1 and cand[j] >= cand[-1]:
+            continue  # buffer rows at/past the final iterate (never reached)
+        tag = " <-- chosen" if int(cand[j]) == best and not np.isnan(bt[j]) else ""
+        fstr = "   (skipped)" if np.isnan(bt[j]) else f"f = {bt[j]: .9e}"
+        out.append(f"  cg-iter {int(cand[j]):4d}  {fstr}{tag}")
+
+    if d.ls_alphas.shape[0]:
+        out.append("Line search (Armijo):")
+        al = np.asarray(d.ls_alphas)
+        fl = np.asarray(d.ls_f)
+        for i in range(len(al)):
+            if np.isnan(al[i]) and np.isnan(fl[i]):
+                continue
+            mark = " <-- accepted" if al[i] == float(stats.lr) else ""
+            out.append(f"  alpha = {al[i]:.6f}  f = {fl[i]: .9e}{mark}")
+        if bool(stats.linesearch_failed):
+            out.append("  no alpha accepted -> alpha = 0 (no update)")
+    return "\n".join(out)
+
+
 # --------------------------------------------------------------------------
 # Debug self-tests (reference optimizer.py:365-448, :817-926)
 # --------------------------------------------------------------------------
@@ -676,14 +866,32 @@ def check_deterministic(
     params: Any,
     batch: Any,
     key: Optional[jax.Array] = None,
+    fns_factory: Optional[Callable[[jax.Array], HFModelFns]] = None,
+    batch_factory: Optional[Callable[[], Any]] = None,
 ) -> dict:
-    """Check that the forward pass and the curvature matvec are deterministic.
+    """Check for stochasticity that would corrupt CG's fixed quadratic model.
 
     Analog of ``_test_forward_determinisitc`` / ``_test_mvp_deterministic``
-    (reference optimizer.py:365-448): each quantity is computed twice and
-    compared with ``allclose``.  Stochastic model components (e.g. dropout
-    consuming a captured RNG state, or nondeterministic data pipelines)
-    corrupt CG's fixed quadratic model; run this once in the first step.
+    (reference optimizer.py:365-448), redesigned for what can actually vary
+    in this paradigm.  In torch, two ``forward()`` calls on a dropout model
+    consume fresh global RNG state and differ; a pure JAX function of
+    ``(params, batch)`` cannot -- so the double-evaluation checks below only
+    catch *host-side* impurity (NumPy/Python RNG or other side effects
+    inside user callables, possible because this check runs them eagerly,
+    outside jit).  The failure mode that DOES exist in JAX -- a model that
+    consumes an explicit PRNG key rethreaded between evaluations (dropout
+    with a fresh key per forward), or a data pipeline yielding different
+    batches per call -- is checked through the two factories:
+
+    - ``fns_factory(prng_key) -> HFModelFns``: built twice with different
+      keys and compared on the same batch.  A model whose loss depends on
+      the key is stochastic (``rng_invariant=False``): HF requires fixing
+      the key for the whole step, or disabling dropout (the analog of the
+      reference's "consider calling model.eval()" advice,
+      reference optimizer.py:406-409).
+    - ``batch_factory() -> batch``: called twice and compared leaf-wise
+      (``data_reproducible``); CG, backtracking and the line search all
+      assume THE SAME batch throughout one step.
 
     Returns a dict of booleans instead of raising warnings (flags compose
     with jit; warnings don't).
@@ -705,6 +913,23 @@ def check_deterministic(
     v = jax.random.normal(key, (ravel.dim,), ravel.dtype)
     _, _, mvp = _build_matvec_and_grad(fns, config, ravel, params, batch)
     results["mvp_deterministic"] = bool(jnp.allclose(mvp(v), mvp(v)))
+
+    if fns_factory is not None:
+        k1, k2 = jax.random.split(key)
+        la = fns_factory(k1).full_loss(params, batch)
+        lb = fns_factory(k2).full_loss(params, batch)
+        results["rng_invariant"] = bool(jnp.allclose(la, lb))
+
+    if batch_factory is not None:
+        b1 = batch_factory()
+        b2 = batch_factory()
+        leaves1 = jax.tree_util.tree_leaves(b1)
+        leaves2 = jax.tree_util.tree_leaves(b2)
+        results["data_reproducible"] = len(leaves1) == len(leaves2) and all(
+            a.shape == b.shape and bool(jnp.allclose(a, b))
+            for a, b in zip(leaves1, leaves2)
+        )
+
     return results
 
 
@@ -796,6 +1021,7 @@ class HessianFree:
         model_fn=None,
         loss_outer=None,
         loss_fn=None,
+        loss_reg=None,
         trainable=None,
         config: Optional[HFConfig] = None,
         **config_kwargs,
@@ -806,7 +1032,10 @@ class HessianFree:
             raise ValueError("Pass either config or keyword args, not both.")
         self.config = config
         self.fns = HFModelFns(
-            model_fn=model_fn, loss_outer=loss_outer, loss_fn=loss_fn
+            model_fn=model_fn,
+            loss_outer=loss_outer,
+            loss_fn=loss_fn,
+            loss_reg=loss_reg,
         )
         if config.curvature_opt == "ggn" and model_fn is None:
             raise ValueError(
@@ -870,6 +1099,8 @@ class HessianFree:
                 f"iter {int(stats.best_cg_iter)} | lr {float(stats.lr):.6f}"
                 + (f" | flags: {', '.join(flags)}" if flags else "")
             )
+            if stats.detail is not None:
+                print(format_rich_stats(stats))
         return float(stats.final_loss)
 
     def step(
@@ -965,6 +1196,7 @@ class HessianFree:
             targets,
             reduction,
             self.ravel,
+            loss_reg=self.fns.loss_reg,
         )
 
     # -- self-tests ----------------------------------------------------------
@@ -975,9 +1207,15 @@ class HessianFree:
             self.fns, self.config, self.ravel, self.params, datalist, reduction
         )
 
-    def test_deterministic(self, batch) -> dict:
+    def test_deterministic(
+        self, batch, fns_factory=None, batch_factory=None
+    ) -> dict:
+        """See :func:`check_deterministic`; pass ``fns_factory(key)`` to
+        detect RNG-consuming (e.g. dropout) models and ``batch_factory()``
+        to check data-pipeline reproducibility."""
         return check_deterministic(
-            self.fns, self.config, self.ravel, self.params, batch
+            self.fns, self.config, self.ravel, self.params, batch,
+            fns_factory=fns_factory, batch_factory=batch_factory,
         )
 
     # -- checkpointing -------------------------------------------------------

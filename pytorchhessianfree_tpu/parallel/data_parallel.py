@@ -104,15 +104,19 @@ def _dp_wrap_fns(
         else functools.partial(jax.lax.psum, axis_name=axis_name)
     )
 
+    # loss_reg is params-only: params are replicated, so the per-device reg
+    # value is already the global one -- only the data term is combined.
     if fns.loss_fn is not None:
         def loss_fn(params, batch):
             return combine(fns.loss_fn(params, batch))
-        return HFModelFns(loss_fn=loss_fn)
+        return HFModelFns(loss_fn=loss_fn, loss_reg=fns.loss_reg)
 
     def loss_outer(outputs, targets):
         return combine(fns.loss_outer(outputs, targets))
 
-    return HFModelFns(model_fn=fns.model_fn, loss_outer=loss_outer)
+    return HFModelFns(
+        model_fn=fns.model_fn, loss_outer=loss_outer, loss_reg=fns.loss_reg
+    )
 
 
 def make_dp_hf_step_shardmap(
@@ -167,3 +171,54 @@ def make_dp_hf_step_shardmap(
         return step_jit(params, state, batch, precond_diag, use_precond)
 
     return step
+
+
+def make_dp_hf_acc_step_shardmap(
+    fns: HFModelFns,
+    config: HFConfig,
+    ravel: TrainableRavel,
+    mesh: Mesh,
+    axis_name: str = "data",
+    reduction: str = "mean",
+):
+    """Accumulation x data parallelism, explicit shard_map formulation.
+
+    The stacked datalist keeps its chunk axis ([C, N, ...]); each chunk's
+    BATCH axis is sharded over the mesh, so every device scans the same C
+    chunks over its local rows and each per-chunk loss / gradient /
+    curvature-matvec evaluation psum/pmeans into the global value -- the
+    reference's sequential large-batch mechanism (acc_step, reference
+    optimizer.py:519-606) running C-deep in time and mesh-wide in space.
+
+    Returns ``step(params, state, loss_data)`` with ``loss_data`` a stacked
+    ``(xs [C, N, ...], ys [C, N, ...])`` pytree; N must be divisible by the
+    mesh axis size.
+    """
+    from ..optimizer import hf_acc_step
+
+    if reduction not in ("mean", "sum"):
+        raise ValueError(f"Invalid reduction {reduction}")
+    dp_fns = _dp_wrap_fns(fns, axis_name, reduction)
+
+    @jax.jit
+    def step_jit(params, state, loss_data):
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(), P(None, axis_name)),
+            out_specs=P(),
+        )
+        def inner(params, state, loss_data):
+            return hf_acc_step(
+                params,
+                state,
+                fns=dp_fns,
+                config=config,
+                ravel=ravel,
+                loss_data=loss_data,
+                reduction=reduction,
+            )
+
+        return inner(params, state, loss_data)
+
+    return step_jit

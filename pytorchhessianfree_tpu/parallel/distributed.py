@@ -50,14 +50,29 @@ def initialize_distributed(
         pass
 
 
-def global_batch_slice(global_batch_size: int) -> slice:
+def global_batch_slice(
+    global_batch_size: int,
+    process_count: Optional[int] = None,
+    process_index: Optional[int] = None,
+) -> slice:
     """The slice of a global batch this process should load.
 
     With the batch sharded over the ``data`` mesh axis, each host feeds only
     its local shard (``jax.make_array_from_process_local_data`` handles the
     assembly); this helper gives the per-process row range for simple
-    contiguous layouts.
+    contiguous layouts.  ``process_count``/``process_index`` default to the
+    live JAX process layout and exist so multi-host layouts are testable
+    (and wrong layouts fail loudly) without a real pod.
     """
-    per = global_batch_size // jax.process_count()
-    start = per * jax.process_index()
+    pc = jax.process_count() if process_count is None else int(process_count)
+    pi = jax.process_index() if process_index is None else int(process_index)
+    if pc < 1 or not 0 <= pi < pc:
+        raise ValueError(f"Invalid process layout: index {pi} of {pc}")
+    if global_batch_size % pc != 0:
+        raise ValueError(
+            f"global_batch_size {global_batch_size} is not divisible by "
+            f"process_count {pc}; every host must feed an equal shard"
+        )
+    per = global_batch_size // pc
+    start = per * pi
     return slice(start, start + per)

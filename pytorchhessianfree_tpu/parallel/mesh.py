@@ -19,20 +19,60 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def balanced_mesh_shape(n: int, k: int) -> tuple:
+    """Factor ``n`` devices into ``k`` mesh axes as evenly as possible.
+
+    Greedy: each axis takes the divisor of the remaining count closest to the
+    k-th root (e.g. 8 devices x 2 axes -> (2, 4); 12 x 2 -> (3, 4); a prime
+    count falls back to (n, 1, ..., 1)).  The product is always exactly ``n``.
+    """
+    if k < 1 or n < 1:
+        raise ValueError(f"Invalid mesh factorization: {n} devices, {k} axes")
+    shape = []
+    for axes_left in range(k, 1, -1):
+        target = n ** (1.0 / axes_left)
+        best = min(
+            (d for d in range(1, n + 1) if n % d == 0),
+            key=lambda d: abs(d - target),
+        )
+        shape.append(best)
+        n //= best
+    shape.append(n)
+    return tuple(shape)
+
+
 def make_mesh(
     num_devices: Optional[int] = None,
     axis_names: Sequence[str] = ("data",),
     devices=None,
+    shape: Optional[Sequence[int]] = None,
 ) -> Mesh:
-    """A 1-D (or reshaped n-D) mesh over the available devices."""
+    """A 1-D (or reshaped n-D) mesh over the available devices.
+
+    For multi-axis meshes the device count is factored with
+    :func:`balanced_mesh_shape` (exact product, works for non-hypercube
+    counts such as 8 devices x 2 axes -> (2, 4)); pass ``shape`` explicitly
+    to control the layout (e.g. to align an axis with ICI topology).
+    """
     if devices is None:
         devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
     arr = np.asarray(devices)
-    if len(axis_names) > 1:
-        side = round(len(devices) ** (1.0 / len(axis_names)))
-        arr = arr.reshape((side,) * len(axis_names))
+    if shape is not None:
+        shape = tuple(int(s) for s in shape)
+        if len(shape) != len(axis_names):
+            raise ValueError(
+                f"shape {shape} has {len(shape)} axes, expected "
+                f"{len(axis_names)} ({axis_names})"
+            )
+        if int(np.prod(shape)) != len(devices):
+            raise ValueError(
+                f"shape {shape} does not cover {len(devices)} devices"
+            )
+        arr = arr.reshape(shape)
+    elif len(axis_names) > 1:
+        arr = arr.reshape(balanced_mesh_shape(len(devices), len(axis_names)))
     return Mesh(arr, axis_names)
 
 

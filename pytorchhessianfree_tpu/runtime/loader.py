@@ -3,7 +3,8 @@
 The C++ batcher (runtime/src/batcher.cpp) assembles shuffled mini-batches on
 background threads into a ring of buffers; Python's ``next()`` is one memcpy.
 The shared library is compiled on first use with g++ and cached next to the
-source (no pybind11 needed -- plain C ABI via ctypes).
+source, falling back to ``~/.cache`` for read-only installs (no pybind11
+needed -- plain C ABI via ctypes).
 """
 
 from __future__ import annotations
@@ -17,28 +18,46 @@ from typing import Tuple
 import numpy as np
 
 _SRC = os.path.join(os.path.dirname(__file__), "src", "batcher.cpp")
-_LIB = os.path.join(os.path.dirname(__file__), "src", "libhfbatcher.so")
 _lock = threading.Lock()
 _lib = None
 
 
+def _lib_dirs():
+    """Candidate build directories: next to the source, then a user cache
+    dir (read-only installs: system site-packages, bazel/pex sandboxes)."""
+    yield os.path.join(os.path.dirname(__file__), "src")
+    cache = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
+    )
+    yield os.path.join(cache, "pytorchhessianfree_tpu")
+
+
 def _build_lib() -> str:
-    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(
-        _SRC
-    ):
-        cmd = [
-            "g++",
-            "-O3",
-            "-std=c++17",
-            "-fPIC",
-            "-shared",
-            "-pthread",
-            _SRC,
-            "-o",
-            _LIB,
-        ]
-        subprocess.run(cmd, check=True, capture_output=True)
-    return _LIB
+    errors = []
+    for d in _lib_dirs():
+        lib_path = os.path.join(d, "libhfbatcher.so")
+        if os.path.exists(lib_path) and os.path.getmtime(
+            lib_path
+        ) >= os.path.getmtime(_SRC):
+            return lib_path
+        try:
+            os.makedirs(d, exist_ok=True)
+            tmp = lib_path + f".tmp{os.getpid()}"
+            cmd = [
+                "g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-pthread",
+                _SRC, "-o", tmp,
+            ]
+            proc = subprocess.run(cmd, capture_output=True, text=True)
+            if proc.returncode != 0:
+                errors.append(f"{d}: g++ failed:\n{proc.stderr}")
+                continue
+            os.replace(tmp, lib_path)  # atomic vs concurrent builders
+            return lib_path
+        except OSError as e:  # unwritable directory etc.
+            errors.append(f"{d}: {e}")
+    raise RuntimeError(
+        "Could not build the native batcher library:\n" + "\n".join(errors)
+    )
 
 
 def _load():
@@ -51,8 +70,8 @@ def _load():
                 ctypes.c_void_p,  # inputs
                 ctypes.c_void_p,  # targets
                 ctypes.c_int64,  # n
-                ctypes.c_int64,  # in_elems
-                ctypes.c_int64,  # tgt_elems
+                ctypes.c_int64,  # in_row_bytes
+                ctypes.c_int64,  # tgt_row_bytes
                 ctypes.c_int64,  # batch
                 ctypes.c_uint64,  # seed
                 ctypes.c_int32,  # depth
@@ -75,17 +94,22 @@ def _load():
 class PrefetchLoader:
     """Threaded, shuffled, prefetching mini-batch iterator.
 
+    Rows are moved as opaque byte spans, so inputs and targets keep their
+    native dtypes end to end -- integer labels pass through as integers with
+    no float round-trip.
+
     Args:
-        inputs: [N, ...] float32 array (any trailing shape).
-        targets: [N, ...] float32 array.  Integer labels should be passed as
-            float32 and cast back after ``next_batch`` (``labels_as_int``
-            does this automatically).
+        inputs: [N, ...] array, any dtype and trailing shape.
+        targets: [N, ...] array, any dtype (e.g. int32/int64 class labels).
         batch_size: rows per batch.
         seed: shuffle seed (deterministic epochs).
         depth: ring-buffer depth (batches prefetched ahead).
-        num_threads: producer threads.
+        num_threads: producer threads (gathers run concurrently).
         drop_last: drop the ragged final batch; otherwise it is padded by
             repeating the last sample (keeps shapes static for jit).
+        labels_as_int: legacy knob from when targets were forced to float32;
+            casts float targets to int32 after gather.  Native integer
+            targets no longer need it.
     """
 
     def __init__(
@@ -101,15 +125,19 @@ class PrefetchLoader:
     ):
         lib = _load()
         self._lib = lib
-        self._inputs = np.ascontiguousarray(inputs, dtype=np.float32)
-        self._targets = np.ascontiguousarray(targets, dtype=np.float32)
+        self._inputs = np.ascontiguousarray(inputs)
+        self._targets = np.ascontiguousarray(targets)
         n = self._inputs.shape[0]
         if self._targets.shape[0] != n:
             raise ValueError("inputs/targets row mismatch")
         self._in_shape = self._inputs.shape[1:]
         self._tgt_shape = self._targets.shape[1:]
-        in_elems = int(np.prod(self._in_shape)) if self._in_shape else 1
-        tgt_elems = int(np.prod(self._tgt_shape)) if self._tgt_shape else 1
+        in_row_bytes = self._inputs.dtype.itemsize * (
+            int(np.prod(self._in_shape)) if self._in_shape else 1
+        )
+        tgt_row_bytes = self._targets.dtype.itemsize * (
+            int(np.prod(self._tgt_shape)) if self._tgt_shape else 1
+        )
         self.batch_size = batch_size
         self.labels_as_int = labels_as_int
 
@@ -117,8 +145,8 @@ class PrefetchLoader:
             self._inputs.ctypes.data_as(ctypes.c_void_p),
             self._targets.ctypes.data_as(ctypes.c_void_p),
             n,
-            in_elems,
-            tgt_elems,
+            in_row_bytes,
+            tgt_row_bytes,
             batch_size,
             seed,
             depth,
@@ -132,14 +160,16 @@ class PrefetchLoader:
     def next_batch(self) -> Tuple[np.ndarray, np.ndarray]:
         # fresh buffers per call: the C side copies straight into them, and
         # the caller owns the result (single copy end to end)
-        x = np.empty((self.batch_size,) + self._in_shape, np.float32)
-        y = np.empty((self.batch_size,) + self._tgt_shape, np.float32)
-        self._lib.hfb_next(
+        x = np.empty((self.batch_size,) + self._in_shape, self._inputs.dtype)
+        y = np.empty((self.batch_size,) + self._tgt_shape, self._targets.dtype)
+        seq = self._lib.hfb_next(
             self._h,
             x.ctypes.data_as(ctypes.c_void_p),
             y.ctypes.data_as(ctypes.c_void_p),
         )
-        if self.labels_as_int:
+        if seq < 0:
+            raise RuntimeError("PrefetchLoader is shutting down")
+        if self.labels_as_int and not np.issubdtype(y.dtype, np.integer):
             y = y.astype(np.int32)
         return x, y
 

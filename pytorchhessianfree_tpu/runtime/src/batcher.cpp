@@ -10,43 +10,63 @@
 // (runtime/loader.py).
 //
 // Design:
-//  - the dataset lives in caller-owned memory (inputs: N x in_elems floats,
-//    targets: N x tgt_elems floats); the batcher never copies it;
-//  - each epoch draws a fresh Fisher-Yates permutation from a seeded
-//    xorshift PRNG (deterministic across runs for a fixed seed);
-//  - `depth` ring slots are filled by `n_threads` producer threads; the
-//    consumer pops slots in order (hfb_next) and releases them (hfb_release).
+//  - the dataset lives in caller-owned memory; rows are opaque byte spans
+//    (inputs: N x in_row_bytes, targets: N x tgt_row_bytes), so any dtype
+//    passes through natively -- int labels need no float round-trip;
+//  - each epoch has its own deterministic Fisher-Yates permutation, seeded
+//    from (seed, epoch) via splitmix64, shared among producers through a
+//    shared_ptr so gathers run OUTSIDE the global mutex (n_threads scale);
+//  - `depth` ring slots are claimed under the lock (FREE -> FILLING),
+//    filled lock-free, then published (FILLING -> READY); the consumer pops
+//    slots in order (hfb_next) and frees them;
+//  - hfb_destroy wakes everything; a consumer blocked in hfb_next observes
+//    `stop` and returns the -1 sentinel instead of hanging.
 
 #include <atomic>
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
+#include <map>
+#include <memory>
 #include <mutex>
 #include <thread>
 #include <vector>
 
 namespace {
 
+using Perm = std::vector<int64_t>;
+
+enum class SlotState : uint8_t { kFree, kFilling, kReady };
+
 struct Slot {
-  std::vector<float> x;
-  std::vector<float> y;
-  uint64_t seq = 0;       // which batch index this slot holds
-  bool ready = false;
+  std::vector<uint8_t> x;
+  std::vector<uint8_t> y;
+  uint64_t seq = 0;  // which batch index this slot holds (valid when kReady)
+  SlotState state = SlotState::kFree;
 };
 
+uint64_t splitmix64(uint64_t x) {
+  x += 0x9E3779B97F4A7C15ULL;
+  x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9ULL;
+  x = (x ^ (x >> 27)) * 0x94D049BB133111EBULL;
+  return x ^ (x >> 31);
+}
+
 struct Batcher {
-  const float* inputs;
-  const float* targets;
-  int64_t n, in_elems, tgt_elems, batch;
+  const uint8_t* inputs;
+  const uint8_t* targets;
+  int64_t n, in_row_bytes, tgt_row_bytes, batch;
   uint64_t seed;
   bool drop_last;
-
-  std::vector<int64_t> perm;      // current epoch permutation
-  uint64_t epoch = 0;
   int64_t batches_per_epoch = 0;
 
+  // Per-epoch permutations, generated deterministically from (seed, epoch)
+  // and shared by reference so fills read them without the lock.  Entries
+  // older than the oldest epoch still in flight are pruned.
+  std::map<uint64_t, std::shared_ptr<const Perm>> perms;
+
   std::vector<Slot> slots;
-  uint64_t next_to_produce = 0;   // global batch sequence number
+  uint64_t next_to_produce = 0;  // global batch sequence number
   uint64_t next_to_consume = 0;
 
   std::mutex mu;
@@ -54,80 +74,97 @@ struct Batcher {
   std::vector<std::thread> threads;
   std::atomic<bool> stop{false};
 
-  uint64_t rng_state;
-  uint64_t rng() {
-    // xorshift64*
-    uint64_t x = rng_state;
-    x ^= x >> 12;
-    x ^= x << 25;
-    x ^= x >> 27;
-    rng_state = x;
-    return x * 0x2545F4914F6CDD1DULL;
-  }
-
-  void reshuffle_locked() {
-    perm.resize(n);
-    for (int64_t i = 0; i < n; ++i) perm[i] = i;
+  std::shared_ptr<const Perm> perm_for_epoch_locked(uint64_t epoch) {
+    auto it = perms.find(epoch);
+    if (it != perms.end()) return it->second;
+    auto perm = std::make_shared<Perm>(n);
+    for (int64_t i = 0; i < n; ++i) (*perm)[i] = i;
+    uint64_t state = splitmix64(seed ^ splitmix64(epoch + 1));
+    if (state == 0) state = 1;
+    auto rng = [&state]() {
+      // xorshift64*
+      uint64_t x = state;
+      x ^= x >> 12;
+      x ^= x << 25;
+      x ^= x >> 27;
+      state = x;
+      return x * 0x2545F4914F6CDD1DULL;
+    };
     for (int64_t i = n - 1; i > 0; --i) {
       int64_t j = static_cast<int64_t>(rng() % static_cast<uint64_t>(i + 1));
-      std::swap(perm[i], perm[j]);
+      std::swap((*perm)[i], (*perm)[j]);
     }
-    ++epoch;
+    perms.emplace(epoch, perm);
+    // prune epochs no batch in flight can still reference
+    const uint64_t oldest =
+        next_to_consume / static_cast<uint64_t>(batches_per_epoch);
+    perms.erase(perms.begin(), perms.lower_bound(oldest));
+    return perm;
   }
 
-  // Gather batch `seq` (global sequence number) into slot s.
-  void fill(Slot& s, uint64_t seq) {
+  // Gather batch `seq` into slot s using an epoch-permutation snapshot.
+  // Runs WITHOUT the lock: everything touched is either immutable (dataset,
+  // perm contents) or owned by this producer while the slot is kFilling.
+  void fill(Slot& s, uint64_t seq, const Perm& perm) {
     const uint64_t bpe = static_cast<uint64_t>(batches_per_epoch);
     const uint64_t within = seq % bpe;
     const int64_t start = static_cast<int64_t>(within) * batch;
     const int64_t count =
         drop_last ? batch : std::min<int64_t>(batch, n - start);
-    s.x.resize(static_cast<size_t>(batch) * in_elems);
-    s.y.resize(static_cast<size_t>(batch) * tgt_elems);
+    s.x.resize(static_cast<size_t>(batch) * in_row_bytes);
+    s.y.resize(static_cast<size_t>(batch) * tgt_row_bytes);
     for (int64_t k = 0; k < count; ++k) {
       const int64_t src = perm[start + k];
-      std::memcpy(&s.x[static_cast<size_t>(k) * in_elems],
-                  inputs + src * in_elems, sizeof(float) * in_elems);
-      std::memcpy(&s.y[static_cast<size_t>(k) * tgt_elems],
-                  targets + src * tgt_elems, sizeof(float) * tgt_elems);
+      std::memcpy(&s.x[static_cast<size_t>(k) * in_row_bytes],
+                  inputs + src * in_row_bytes,
+                  static_cast<size_t>(in_row_bytes));
+      std::memcpy(&s.y[static_cast<size_t>(k) * tgt_row_bytes],
+                  targets + src * tgt_row_bytes,
+                  static_cast<size_t>(tgt_row_bytes));
     }
     // pad a short final batch by repeating the last sample (caller sees
     // full `batch` rows; count < batch only when drop_last == false)
     for (int64_t k = count; k < batch; ++k) {
-      std::memcpy(&s.x[static_cast<size_t>(k) * in_elems],
-                  &s.x[static_cast<size_t>(count - 1) * in_elems],
-                  sizeof(float) * in_elems);
-      std::memcpy(&s.y[static_cast<size_t>(k) * tgt_elems],
-                  &s.y[static_cast<size_t>(count - 1) * tgt_elems],
-                  sizeof(float) * tgt_elems);
+      std::memcpy(&s.x[static_cast<size_t>(k) * in_row_bytes],
+                  &s.x[static_cast<size_t>(count - 1) * in_row_bytes],
+                  static_cast<size_t>(in_row_bytes));
+      std::memcpy(&s.y[static_cast<size_t>(k) * tgt_row_bytes],
+                  &s.y[static_cast<size_t>(count - 1) * tgt_row_bytes],
+                  static_cast<size_t>(tgt_row_bytes));
     }
-    s.seq = seq;
-    s.ready = true;
   }
 
   void producer_loop() {
+    const uint64_t bpe = static_cast<uint64_t>(batches_per_epoch);
     for (;;) {
-      std::unique_lock<std::mutex> lk(mu);
       uint64_t seq;
       Slot* slot = nullptr;
-      for (;;) {
-        if (stop.load()) return;
-        seq = next_to_produce;
-        Slot& cand = slots[seq % slots.size()];
-        // A slot is free once the consumer has moved past what it held.
-        if (!cand.ready && seq < next_to_consume + slots.size()) {
-          slot = &cand;
-          next_to_produce = seq + 1;
-          const uint64_t bpe = static_cast<uint64_t>(batches_per_epoch);
-          if (seq % bpe == 0 && seq / bpe + 1 > epoch) reshuffle_locked();
-          break;
+      std::shared_ptr<const Perm> perm;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        for (;;) {
+          if (stop.load(std::memory_order_relaxed)) return;
+          seq = next_to_produce;
+          Slot& cand = slots[seq % slots.size()];
+          // A slot is claimable once the consumer has moved past what it
+          // held and no other producer is filling it.
+          if (cand.state == SlotState::kFree &&
+              seq < next_to_consume + slots.size()) {
+            slot = &cand;
+            cand.state = SlotState::kFilling;
+            next_to_produce = seq + 1;
+            perm = perm_for_epoch_locked(seq / bpe);
+            break;
+          }
+          cv_produce.wait(lk);
         }
-        cv_produce.wait(lk);
       }
-      // NOTE: fill under the lock -- the permutation may be replaced at
-      // epoch boundaries and slots are small; contention is negligible
-      // next to the device step this pipeline overlaps with.
-      fill(*slot, seq);
+      fill(*slot, seq, *perm);  // the memcpy gather runs unserialized
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        slot->seq = seq;
+        slot->state = SlotState::kReady;
+      }
       cv_consume.notify_all();
     }
   }
@@ -137,29 +174,24 @@ struct Batcher {
 
 extern "C" {
 
-void* hfb_create(const float* inputs, const float* targets, int64_t n,
-                 int64_t in_elems, int64_t tgt_elems, int64_t batch,
+void* hfb_create(const void* inputs, const void* targets, int64_t n,
+                 int64_t in_row_bytes, int64_t tgt_row_bytes, int64_t batch,
                  uint64_t seed, int32_t depth, int32_t n_threads,
                  int32_t drop_last) {
-  if (n <= 0 || batch <= 0 || batch > n || depth < 1 || n_threads < 1)
+  if (n <= 0 || batch <= 0 || batch > n || depth < 1 || n_threads < 1 ||
+      in_row_bytes <= 0 || tgt_row_bytes <= 0)
     return nullptr;
   auto* b = new Batcher();
-  b->inputs = inputs;
-  b->targets = targets;
+  b->inputs = static_cast<const uint8_t*>(inputs);
+  b->targets = static_cast<const uint8_t*>(targets);
   b->n = n;
-  b->in_elems = in_elems;
-  b->tgt_elems = tgt_elems;
+  b->in_row_bytes = in_row_bytes;
+  b->tgt_row_bytes = tgt_row_bytes;
   b->batch = batch;
   b->seed = seed;
-  b->rng_state = seed ^ 0x9E3779B97F4A7C15ULL;
-  if (b->rng_state == 0) b->rng_state = 1;
   b->drop_last = drop_last != 0;
   b->batches_per_epoch = b->drop_last ? n / batch : (n + batch - 1) / batch;
   b->slots.resize(static_cast<size_t>(depth));
-  {
-    std::lock_guard<std::mutex> lk(b->mu);
-    b->reshuffle_locked();
-  }
   for (int32_t i = 0; i < n_threads; ++i)
     b->threads.emplace_back([b] { b->producer_loop(); });
   return b;
@@ -170,17 +202,22 @@ int64_t hfb_batches_per_epoch(void* handle) {
 }
 
 // Blocking: copy the next batch into caller buffers.  Returns the global
-// batch sequence number (>= 0).
-int64_t hfb_next(void* handle, float* out_x, float* out_y) {
+// batch sequence number (>= 0), or -1 if the batcher is shutting down.
+int64_t hfb_next(void* handle, void* out_x, void* out_y) {
   auto* b = static_cast<Batcher*>(handle);
   std::unique_lock<std::mutex> lk(b->mu);
   const uint64_t seq = b->next_to_consume;
   Slot& s = b->slots[seq % b->slots.size()];
-  b->cv_consume.wait(lk, [&] { return (s.ready && s.seq == seq); });
-  std::memcpy(out_x, s.x.data(), sizeof(float) * s.x.size());
-  std::memcpy(out_y, s.y.data(), sizeof(float) * s.y.size());
-  s.ready = false;
+  b->cv_consume.wait(lk, [&] {
+    return (s.state == SlotState::kReady && s.seq == seq) ||
+           b->stop.load(std::memory_order_relaxed);
+  });
+  if (b->stop.load(std::memory_order_relaxed)) return -1;
+  std::memcpy(out_x, s.x.data(), s.x.size());
+  std::memcpy(out_y, s.y.data(), s.y.size());
+  s.state = SlotState::kFree;
   b->next_to_consume = seq + 1;
+  lk.unlock();
   b->cv_produce.notify_all();
   return static_cast<int64_t>(seq);
 }

@@ -98,12 +98,17 @@ def _t_unravel(vec, template):
     return out
 
 
-def _torch_grad_and_gv(tp, model, loss_outer, tx):
+def _torch_grad_and_gv(tp, model, loss_outer, tx, reg=None):
+    """reg: optional params->scalar regularizer; enters loss and gradient,
+    NOT the GGN (reference behavior with a regularized forward closure)."""
     out, vjp_fn = torch.func.vjp(lambda p: model(p, tx), tp)
     _, jvp_from = torch.func.linearize(lambda p: model(p, tx), tp)
     lg = torch.func.grad(loss_outer)
     grad = _t_ravel(vjp_fn(lg(out))[0]).detach()
     loss = loss_outer(out)
+    if reg is not None:
+        loss = loss + reg(tp)
+        grad = grad + _t_ravel(torch.func.grad(reg)(tp)).detach()
 
     def gv(v_np):
         v = _t_unravel(torch.tensor(v_np, dtype=torch.float64), tp)
@@ -194,9 +199,10 @@ def _np_linesearch(f, grad, step, f0, init_alpha=1.0, beta=0.8, c=1e-2, max_iter
 
 
 def _np_hf_step(tp, model, loss_outer, tx, x0, damping, cg_max_iter=30,
-                precond_diag=None):
+                precond_diag=None, reg=None):
     """One full reference-semantics HF step (GGN) in numpy/torch.func."""
-    init_loss, grad, gv = _torch_grad_and_gv(tp, model, loss_outer, tx)
+    init_loss, grad, gv = _torch_grad_and_gv(tp, model, loss_outer, tx,
+                                             reg=reg)
 
     def A(v):
         return gv(v) + damping * v
@@ -212,7 +218,10 @@ def _np_hf_step(tp, model, loss_outer, tx, x0, damping, cg_max_iter=30,
         trial = _t_unravel(
             _t_ravel(tp) + torch.tensor(delta, dtype=torch.float64), tp
         )
-        return float(loss_outer(model(trial, tx)))
+        val = loss_outer(model(trial, tx))
+        if reg is not None:
+            val = val + reg(trial)
+        return float(val)
 
     # LM damping (f_0 at the warm start)
     f_0 = f(x0)
@@ -398,4 +407,55 @@ def test_preconditioned_trajectory_parity(seed):
         np.testing.assert_allclose(
             np.asarray(ravel.ravel(p)), _t_ravel(tp).detach().numpy(),
             atol=param_atol, rtol=1e-3,
+        )
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_l2_regularized_trajectory_parity(seed):
+    """Two full HF steps with L2 weight decay (the reference's flagship
+    All-CNN-C configuration, examples/example_utils.py:76-81): the rebuild's
+    loss_reg split-form hook must track the torch/NumPy replica in which the
+    regularizer rides every loss/gradient evaluation while the GGN flows
+    through the outputs only."""
+    COEFF = 5e-3
+    Ws, bs, x, y = _make_problem(seed)
+    params, model_fn, mse, batch = _jax_setup(Ws, bs, x, y)
+    tp, tmodel, touter, tx = _torch_setup(Ws, bs, x, y)
+
+    def j_reg(p):
+        return 0.5 * COEFF * sum(
+            jnp.sum(q**2) for q in jax.tree_util.tree_leaves(p)
+        )
+
+    def t_reg(p):
+        return 0.5 * COEFF * sum(torch.sum(p[k] ** 2) for k in KEYS)
+
+    config = HFConfig(damping=0.1, cg_max_iter=30)
+    fns = HFModelFns(model_fn=model_fn, loss_outer=mse, loss_reg=j_reg)
+    ravel = TrainableRavel(params)
+    step = make_hf_step(fns, config, ravel)
+
+    state = init_state(ravel, config)
+    x0 = np.zeros(ravel.dim)
+    damping = 0.1
+    p = params
+    for i in range(2):
+        p, state, stats = step(p, state, batch)
+        tp, x0, damping, t_init, t_final = _np_hf_step(
+            tp, tmodel, touter, tx, x0, damping, reg=t_reg
+        )
+        # step 1 compares identical inputs; step 2 compares losses at
+        # parameters that already drifted by the step-1 atol
+        np.testing.assert_allclose(
+            float(stats.init_loss), t_init, rtol=[1e-9, 1e-7][i]
+        )
+        np.testing.assert_allclose(
+            float(stats.final_loss), t_final, rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            float(state.damping), damping, rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(ravel.ravel(p)), _t_ravel(tp).detach().numpy(),
+            atol=1e-7,
         )

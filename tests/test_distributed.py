@@ -16,3 +16,23 @@ def test_initialize_is_noop_single_process():
 def test_global_batch_slice_single_process():
     s = global_batch_slice(64)
     assert (s.start, s.stop) == (0, 64)
+
+
+def test_global_batch_slice_fake_process_layouts():
+    """Multi-host slicing logic exercised against explicit process layouts
+    (VERDICT r1 next-round #7) -- contiguous, disjoint, covering."""
+    import pytest
+
+    slices = [global_batch_slice(64, 4, i) for i in range(4)]
+    assert [(s.start, s.stop) for s in slices] == [
+        (0, 16), (16, 32), (32, 48), (48, 64),
+    ]
+    rows = [r for s in slices for r in range(s.start, s.stop)]
+    assert rows == list(range(64))  # disjoint cover, in order
+
+    with pytest.raises(ValueError):
+        global_batch_slice(65, 4, 0)  # not divisible
+    with pytest.raises(ValueError):
+        global_batch_slice(64, 4, 4)  # index out of range
+    with pytest.raises(ValueError):
+        global_batch_slice(64, 0, 0)

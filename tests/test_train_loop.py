@@ -95,3 +95,33 @@ def test_train_loop_ema_requires_split_form():
             ravel,
             precond_ema_decay=1.5,
         )
+
+
+def test_train_loop_ema_seed_survives_resume():
+    """Resuming the scanned loop from a checkpoint (step_count > 0) must
+    seed the EMA diagonal with the first real diagonal, not blend it with
+    the zero init (ADVICE r1: loop-local seeded flag, not step_count == 0)."""
+    key = jax.random.PRNGKey(2)
+    params = init_mlp(key, dtype=jnp.float64)
+    fns = HFModelFns(model_fn=mlp_apply, loss_outer=mse_loss)
+    config = HFConfig(damping=0.5, cg_max_iter=25)
+    ravel = TrainableRavel(params)
+    loop = make_hf_train_loop(fns, config, ravel, precond_ema_decay=0.9)
+
+    xs = jax.random.normal(key, (2, 16, 7), jnp.float64)
+    ys = jax.random.normal(key, (2, 16, 3), jnp.float64)
+
+    s_fresh = init_state(ravel, config)
+    s_resumed = s_fresh._replace(step_count=jnp.asarray(7, jnp.int32))
+    p_a, _, stats_a = loop(params, s_fresh, (xs, ys))
+    p_b, _, stats_b = loop(params, s_resumed, (xs, ys))
+
+    # identical trajectories: EMA seeding must not depend on step_count
+    np.testing.assert_allclose(
+        np.asarray(stats_a.init_loss), np.asarray(stats_b.init_loss),
+        rtol=1e-12,
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_a), jax.tree_util.tree_leaves(p_b)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)

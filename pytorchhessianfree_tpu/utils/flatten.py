@@ -103,6 +103,14 @@ class TrainableRavel:
         Analog of ``vector_to_parameter_list`` (reference utils.py:41-76)
         extended with zero entries for frozen leaves so the result is a valid
         tangent for ``jax.jvp``.
+
+        The result passes through ``lax.optimization_barrier`` (an exact
+        identity): without it, XLA:TPU fuses the flat-vector slices into the
+        consumer graph, and when that consumer is the forward-mode tangent
+        of a conv net the fusion blows compile time up ~25x (measured 125 s
+        vs 5.8 s for ResNet-18's jvp, benchmarks/compile_probe5.py).  The
+        barrier materializes the leaf tensors once -- traffic the conv
+        operands needed anyway -- and restores sane compile times.
         """
         self._check_len(vec)
         out = []
@@ -117,6 +125,7 @@ class TrainableRavel:
                 )
             else:
                 out.append(jnp.zeros(shape, dtype))
+        out = list(jax.lax.optimization_barrier(tuple(out)))
         return jax.tree_util.tree_unflatten(self._treedef, out)
 
     def write(self, params: Any, vec: jax.Array) -> Any:
@@ -139,12 +148,15 @@ class TrainableRavel:
                 )
             else:
                 out.append(leaf)
+        out = list(jax.lax.optimization_barrier(tuple(out)))
         return jax.tree_util.tree_unflatten(self._treedef, out)
 
     def add(self, params: Any, vec: jax.Array) -> Any:
         """Return ``params + unravel(vec)`` -- the trial-parameter write the
         reference performs in-place (reference optimizer.py:290-294, :349-350)
-        done functionally."""
+        done functionally.  Output passes through an optimization barrier
+        for the same compile-time reason as :meth:`unravel` (trial parameter
+        leaves otherwise fuse flat-vector slices into the model's convs)."""
         self._check_len(vec)
         leaves = jax.tree_util.tree_leaves(params)
         self._check_leaves(leaves)
@@ -159,6 +171,7 @@ class TrainableRavel:
                 out.append(leaf + delta)
             else:
                 out.append(leaf)
+        out = list(jax.lax.optimization_barrier(tuple(out)))
         return jax.tree_util.tree_unflatten(self._treedef, out)
 
     def zeros(self) -> jax.Array:

@@ -42,7 +42,7 @@ def measure_jax_matvecs_per_sec() -> float:
 
     key = jax.random.PRNGKey(0)
     params = init_resnet18(key, num_classes=10, in_channels=1)
-    ravel = TrainableRavel(params)
+    ravel = TrainableRavel(params, pad_to_multiple=1024)
     kx, ky = jax.random.split(key)
     x = jax.random.normal(kx, (BATCH_SIZE, 28, 28, 1), jnp.float32)
     y = jax.random.randint(ky, (BATCH_SIZE,), 0, 10)

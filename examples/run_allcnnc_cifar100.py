@@ -54,7 +54,7 @@ if __name__ == "__main__":
         loss_reg=l2_regularizer,
     )
     config = HFConfig(damping=1.0, cg_max_iter=50)
-    ravel = TrainableRavel(params)
+    ravel = TrainableRavel(params, pad_to_multiple=1024)
     state = init_state(ravel, config)
 
     if data_parallel:

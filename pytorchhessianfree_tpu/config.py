@@ -40,10 +40,6 @@ class CGConfig:
     # "ignore" keeps non-positive directional curvature, "saddle-free" takes
     # its absolute value (reference cg.py:123-147).
     nonpos_curv_option: str = "ignore"
-    # Fuse the CG iterate update (two AXPYs + both reductions) into one
-    # HBM pass via a Pallas kernel (ops/pallas_kernels.py).  Opt-in: the
-    # matvec dominates per-iteration cost for large models.
-    use_fused_kernel: bool = False
     # Optional reduced-precision dtype (e.g. "bfloat16") for the stored
     # backtracking iterates: the [G, n] buffer is carried through every CG
     # iteration, so halving it halves that HBM traffic.  Candidates are cast

@@ -110,7 +110,6 @@ def cg(
     martens_threshold: float = 5e-4,
     martens_min_window: int = 10,
     nonpos_curv_option: str = "ignore",
-    use_fused_kernel: bool = False,
     store_dtype=None,
     buffer_layout: str = "flat",
 ) -> CGResult:
@@ -215,30 +214,19 @@ def cg(
             pAp = pAp_raw
         alpha = ry_old / pAp
 
-        if use_fused_kernel:
-            # Single-HBM-pass fused AXPYs + reductions (Pallas kernel;
-            # interpreted off-TPU so numerics tests stay platform-agnostic).
-            from .pallas_kernels import fused_cg_update
-
-            x_new, r_new, m, rr = fused_cg_update(
-                x, r, p, Ap, b, alpha,
-                interpret=jax.default_backend() != "tpu",
-            )
+        x_new = x + alpha * p
+        r_new = r + alpha * Ap
+        # Quadratic value m(x) tracked as 0.5 (r - b) . x
+        # (reference cg.py:97).
+        m = 0.5 * jnp.vdot(r_new - b, x_new)
+        if M is None:
+            # Unpreconditioned: r.r serves both the residual norm and
+            # ry_new below (||r|| = sqrt(r.r) exactly, same reduction as
+            # linalg.norm) -- one fewer HBM pass per iteration.
+            rr = jnp.vdot(r_new, r_new)
             res_norm = jnp.sqrt(rr)
         else:
-            x_new = x + alpha * p
-            r_new = r + alpha * Ap
-            # Quadratic value m(x) tracked as 0.5 (r - b) . x
-            # (reference cg.py:97).
-            m = 0.5 * jnp.vdot(r_new - b, x_new)
-            if M is None:
-                # Unpreconditioned: r.r serves both the residual norm and
-                # ry_new below (||r|| = sqrt(r.r) exactly, same reduction as
-                # linalg.norm) -- one fewer HBM pass per iteration.
-                rr = jnp.vdot(r_new, r_new)
-                res_norm = jnp.sqrt(rr)
-            else:
-                res_norm = jnp.linalg.norm(r_new)
+            res_norm = jnp.linalg.norm(r_new)
 
         # Scatter the iterate into its grid slot, or the scratch row when
         # this iteration is not on the grid (reference cg.py:209-210).

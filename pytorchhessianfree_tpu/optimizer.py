@@ -229,7 +229,6 @@ def _step_core(
         martens_threshold=config.cg.martens_threshold,
         martens_min_window=config.cg.martens_min_window,
         nonpos_curv_option=config.cg.nonpos_curv_option,
-        use_fused_kernel=config.cg.use_fused_kernel,
         store_dtype=config.cg.store_dtype,
         buffer_layout=config.cg.buffer_layout,
     )
@@ -1024,6 +1023,7 @@ class HessianFree:
         loss_reg=None,
         trainable=None,
         config: Optional[HFConfig] = None,
+        pad_to_multiple: Optional[int] = 1024,
         **config_kwargs,
     ):
         if config is None:
@@ -1045,7 +1045,14 @@ class HessianFree:
         # (in-place update in HBM), which must never invalidate arrays the
         # caller still holds.
         self.params = jax.tree_util.tree_map(jnp.array, params)
-        self.ravel = TrainableRavel(params, trainable)
+        # Lane-aligned flat vector space by default (pad_to_multiple=1024 =
+        # 8 sublanes x 128 lanes of f32): measured 7x faster full-step
+        # compile and 33% faster steps on TPU with identical numerics (see
+        # TrainableRavel docs).  Pass pad_to_multiple=None for the exact
+        # unpadded dimension (e.g. to inspect raw flat vectors).
+        self.ravel = TrainableRavel(
+            params, trainable, pad_to_multiple=pad_to_multiple
+        )
         self.state = init_state(self.ravel, config)
         self._step = make_hf_step(self.fns, config, self.ravel, donate=True)
         self._acc_steps = {}  # jitted acc steps, keyed by reduction

@@ -222,3 +222,59 @@ def make_dp_hf_acc_step_shardmap(
         return inner(params, state, loss_data)
 
     return step_jit
+
+
+def dp_diag_EF(
+    fns: HFModelFns,
+    params,
+    inputs,
+    targets,
+    reduction: str,
+    ravel: TrainableRavel,
+    mesh: Mesh,
+    axis_name: str = "data",
+):
+    """Empirical-Fisher diagonal with per-sample gradients sharded over the
+    mesh.
+
+    The diagonal is a per-sample reduction (sum_i g_i^2, reference
+    preconditioners.py:17-20), so each device computes the partial sum over
+    its batch shard and one ``psum`` combines them -- the batch-sharded
+    construction of the preconditioner the sequential reference builds on
+    the full batch.  With ``fns.loss_reg``, each per-sample gradient
+    includes the shared reg gradient (reference ``diag_EF_autograd``
+    regularized semantics), computed identically on every device from the
+    replicated params.
+
+    Returns the ``[ravel.dim]`` diagonal, replicated.
+
+    Formulated through GSPMD rather than shard_map: inside ``shard_map``,
+    ``jax.grad`` w.r.t. a REPLICATED operand auto-psums the cotangent
+    across devices (the mechanism that makes the DP loss wrapping correct),
+    which would globally sum each per-sample gradient before squaring --
+    wrong for the Fisher diagonal.  Sharding the batch axis under jit lets
+    XLA keep the per-sample grads device-local and reduce the squares.
+    """
+    from ..ops.precond import diag_EF
+
+    if reduction not in ("mean", "sum"):
+        raise ValueError(f"reduction {reduction} is not supported.")
+
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(axis_name))
+
+    @functools.partial(jax.jit, out_shardings=repl)
+    def compute(params, inputs, targets):
+        return diag_EF(
+            fns.model_fn, fns.loss_outer, params, inputs, targets,
+            reduction, ravel, loss_reg=fns.loss_reg,
+        )
+
+    params = jax.device_put(params, repl)
+    inputs = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, shard), inputs
+    )
+    targets = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, shard), targets
+    )
+    return compute(params, inputs, targets)

@@ -242,3 +242,38 @@ def test_dp_acc_step_shardmap_matches_single_device():
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-8)
     assert int(st_s.num_cg_iters) == int(st_d.num_cg_iters)
+
+
+def test_dp_diag_ef_sharded_construction():
+    """Batch-sharded empirical-Fisher diagonal (per-sample grads sharded
+    over the mesh + psum) == single-device diag_EF, with and without a
+    params-dependent regularizer."""
+    import jax.numpy as jnp2
+
+    from pytorchhessianfree_tpu.ops.precond import diag_EF
+    from pytorchhessianfree_tpu.parallel.data_parallel import dp_diag_EF
+
+    params, x, y = _problem(11, N=32)
+    ravel = TrainableRavel(params)
+    mesh = make_mesh(8)
+
+    def reg(p):
+        return 0.01 * sum(
+            jnp2.sum(q**2) for q in jax.tree_util.tree_leaves(p)
+        )
+
+    for loss_reg in (None, reg):
+        fns = HFModelFns(
+            model_fn=mlp_apply, loss_outer=mse_loss, loss_reg=loss_reg
+        )
+        for reduction in ("mean", "sum"):
+            want = diag_EF(
+                mlp_apply, mse_loss, params, x, y, reduction, ravel,
+                loss_reg=loss_reg,
+            )
+            got = dp_diag_EF(
+                fns, params, x, y, reduction, ravel, mesh
+            )
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=1e-10, atol=1e-12
+            )

@@ -112,6 +112,8 @@ def cg(
     nonpos_curv_option: str = "ignore",
     store_dtype=None,
     buffer_layout: str = "flat",
+    shard_vec: Optional[Callable[[jax.Array], jax.Array]] = None,
+    shard_buf: Optional[Callable[[jax.Array], jax.Array]] = None,
 ) -> CGResult:
     """Preconditioned CG for ``A x = b`` with Hessian-free modifications.
 
@@ -133,11 +135,20 @@ def cg(
             selects the automatic ``ceil(gamma^j) - 1`` grid; the empty tuple
             stores nothing besides the explicit final ``x``.
         nonpos_curv_option: "ignore" or "saddle-free" (reference cg.py:123-147).
+        shard_vec: optional sharding-constraint hook (e.g.
+            ``lax.with_sharding_constraint`` to a model-axis ``NamedSharding``)
+            applied to every ``[n]`` vector carried through the loop (iterate,
+            residual, search direction).  Identity when ``None``.  Used by
+            :func:`~pytorchhessianfree_tpu.parallel.make_sharded_hf_step` to
+            keep the whole CG vector space sharded across a device mesh.
+        shard_buf: same, for the iterate-storage buffer (its largest array).
     """
     if nonpos_curv_option not in ("ignore", "saddle-free"):
         raise ValueError(f"Unknown option {nonpos_curv_option}.")
     if buffer_layout not in ("flat", "rows"):
         raise ValueError(f"Unknown buffer_layout {buffer_layout}")
+    sv = shard_vec if shard_vec is not None else (lambda v: v)
+    sb = shard_buf if shard_buf is not None else (lambda v: v)
 
     n = b.shape[0]
     dtype = b.dtype
@@ -157,7 +168,7 @@ def cg(
         slot_of_iter[it] = g
     slot_of_iter = jnp.asarray(slot_of_iter)
 
-    x0 = jnp.zeros_like(b) if x0 is None else x0.astype(dtype)
+    x0 = sv(jnp.zeros_like(b) if x0 is None else x0.astype(dtype))
 
     # Tolerance-based residual bound (reference cg.py:75-76).
     res_bound = tol * jnp.linalg.norm(b)
@@ -168,12 +179,12 @@ def cg(
         return M(r) if M is not None else r
 
     # Initialization (reference cg.py:186-192).
-    r0 = A(x0) - b
+    r0 = sv(A(x0) - b)
     m0 = 0.5 * jnp.vdot(r0 - b, x0)
     m_hist = jnp.zeros((max_iter + 1,), dtype).at[0].set(m0)
     y0 = apply_M(r0)
     ry0 = jnp.vdot(r0, y0)
-    p0 = -y0
+    p0 = sv(-y0)
 
     # Iterate storage layout, tuned from v5e profiles of an 11M-param model:
     #
@@ -197,6 +208,7 @@ def cg(
         x_buf = jnp.zeros((G + 1, n), sdtype)
         if G and stored_iters[0] == 0:
             x_buf = x_buf.at[0].set(x0.astype(sdtype))
+    x_buf = sb(x_buf)
 
     def cond(carry):
         return jnp.logical_not(carry[7])
@@ -205,7 +217,7 @@ def cg(
         x, r, p, ry_old, it, m_hist, x_buf, _done, _reason, nonpos = carry
 
         # One curvature matvec per iteration -- the hot op (reference cg.py:205).
-        Ap = A(p)
+        Ap = sv(A(p))
         pAp_raw = jnp.vdot(p, Ap)
         nonpos_i = pAp_raw <= 0
         if nonpos_curv_option == "saddle-free":
@@ -214,8 +226,8 @@ def cg(
             pAp = pAp_raw
         alpha = ry_old / pAp
 
-        x_new = x + alpha * p
-        r_new = r + alpha * Ap
+        x_new = sv(x + alpha * p)
+        r_new = sv(r + alpha * Ap)
         # Quadratic value m(x) tracked as 0.5 (r - b) . x
         # (reference cg.py:97).
         m = 0.5 * jnp.vdot(r_new - b, x_new)
@@ -239,6 +251,7 @@ def cg(
                 )
             else:
                 x_buf = x_buf.at[idx].set(x_new.astype(sdtype))
+            x_buf = sb(x_buf)
 
         m_hist = m_hist.at[it].set(m)
 
@@ -277,7 +290,7 @@ def cg(
             y = apply_M(r_new)
             ry_new = jnp.vdot(r_new, y)
         beta = ry_new / ry_old
-        p_new = -y + beta * p
+        p_new = sv(-y + beta * p)
 
         return (
             x_new,

@@ -187,6 +187,8 @@ def _step_core(
     mvp_vec: Callable[[jax.Array], jax.Array],
     loss_at: Callable[[jax.Array], jax.Array],
     M: Optional[Callable[[jax.Array], jax.Array]],
+    shard_vec: Optional[Callable[[jax.Array], jax.Array]] = None,
+    shard_buf: Optional[Callable[[jax.Array], jax.Array]] = None,
 ) -> Tuple[Any, HFState, HFStats]:
     """Shared orchestration on flat vectors; exact reference phase order
     (reference optimizer.py:208-363).
@@ -198,8 +200,13 @@ def _step_core(
         loss_at: ``delta -> loss(params + delta)`` -- the reference's
             ``tfunc`` (optimizer.py:288-294) made pure.
         M: optional preconditioner matvec.
+        shard_vec / shard_buf: optional sharding-constraint hooks for the
+            flat CG vectors / iterate buffer (see
+            :func:`~pytorchhessianfree_tpu.parallel.make_sharded_hf_step`).
     """
     damping = state.damping
+    sv = shard_vec if shard_vec is not None else (lambda v: v)
+    grad_vec = sv(grad_vec)
 
     # Damped curvature matvec (reference optimizer.py:266).
     def A(v):
@@ -231,6 +238,8 @@ def _step_core(
         nonpos_curv_option=config.cg.nonpos_curv_option,
         store_dtype=config.cg.store_dtype,
         buffer_layout=config.cg.buffer_layout,
+        shard_vec=shard_vec,
+        shard_buf=shard_buf,
     )
 
     # Warm start for the next step: decayed *final* (not backtracked) iterate
@@ -522,6 +531,8 @@ def hf_step(
     M: Optional[Callable[[jax.Array], jax.Array]] = None,
     grad_vec: Optional[jax.Array] = None,
     mvp_vec: Optional[Callable[[jax.Array], jax.Array]] = None,
+    shard_vec: Optional[Callable[[jax.Array], jax.Array]] = None,
+    shard_buf: Optional[Callable[[jax.Array], jax.Array]] = None,
 ) -> Tuple[Any, HFState, HFStats]:
     """One Hessian-free update -- the functional analog of
     ``HessianFree.step`` (reference optimizer.py:126-363).
@@ -578,6 +589,8 @@ def hf_step(
         mvp_vec=mvp_vec,
         loss_at=loss_at,
         M=M,
+        shard_vec=shard_vec,
+        shard_buf=shard_buf,
     )
 
 

@@ -1,0 +1,192 @@
+"""Solver-state-sharded Hessian-free steps over a 2-D (data x model) mesh.
+
+The reference is single-device and scales batches only by sequential
+accumulation (reference optimizer.py:519-606); its largest memory consumer
+-- the CG iterate-storage grid used by backtracking (reference cg.py:152-170,
+a ``len(grid) x n_params`` list of vectors) -- lives whole on one GPU.  On a
+TPU mesh that buffer, and the entire CG vector space with it, shard
+naturally: every CG operation is either elementwise over the flat
+``[n]`` vectors (axpy updates, preconditioner application) or a dot product
+(one ``psum`` over the model axis), so sharding the vectors over a ``model``
+mesh axis splits the optimizer's working set ~evenly across devices -- the
+ZeRO/FSDP formulation of a second-order solver.
+
+Composition with data parallelism is a 2-D mesh ``(data, model)``:
+
+- the BATCH is sharded over ``data`` -- XLA turns the loss/gradient/matvec
+  reductions into ``psum``s over that axis (same mechanism as
+  :func:`make_dp_hf_step`);
+- the flat CG vectors (iterate, residual, direction, warm start, gradient,
+  preconditioner diagonal) and the ``[G+1, n]`` iterate grid are sharded
+  over ``model`` -- vector memory and elementwise traffic split across the
+  axis, dots gain one small ``psum``;
+- model parameters are replicated by default, or sharded with user-provided
+  ``param_specs`` (tensor parallelism): XLA's SPMD partitioner then
+  partitions the forward/backward and the all-gathers between the flat
+  space and the parameter pytree follow from the specs.
+
+Everything is GSPMD: the step body is the UNCHANGED single-device
+:func:`~pytorchhessianfree_tpu.optimizer.hf_step`; only sharding
+annotations (jit in/out shardings plus ``lax.with_sharding_constraint``
+hooks threaded into the CG loop) differ.  Trajectories are identical to the
+single-device step up to reduction order.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import HFConfig
+from ..optimizer import HFModelFns, HFState, hf_step
+from ..utils.flatten import TrainableRavel
+
+
+def _as_sharding(mesh: Mesh, spec_or_sharding):
+    if isinstance(spec_or_sharding, NamedSharding):
+        return spec_or_sharding
+    return NamedSharding(mesh, spec_or_sharding)
+
+
+def _param_shardings(mesh: Mesh, params: Any, param_specs: Optional[Any]):
+    """Pytree of NamedShardings for the parameter pytree.
+
+    ``param_specs`` may be ``None`` (fully replicated), a single
+    ``PartitionSpec`` applied to every leaf, or a pytree of specs /
+    ``NamedSharding``s matching the parameter structure (``None`` leaves =
+    replicated).
+    """
+    repl = NamedSharding(mesh, P())
+    if param_specs is None:
+        return jax.tree_util.tree_map(lambda _: repl, params)
+    if isinstance(param_specs, (P, NamedSharding)):
+        s = _as_sharding(mesh, param_specs)
+        return jax.tree_util.tree_map(lambda _: s, params)
+
+    is_spec = lambda x: x is None or isinstance(x, (P, NamedSharding))
+    return jax.tree_util.tree_map(
+        lambda spec: repl if spec is None else _as_sharding(mesh, spec),
+        param_specs,
+        is_leaf=is_spec,
+    )
+
+
+def make_sharded_hf_step(
+    fns: HFModelFns,
+    config: HFConfig,
+    ravel: TrainableRavel,
+    mesh: Mesh,
+    data_axis: Optional[str] = "data",
+    model_axis: str = "model",
+    param_specs: Optional[Any] = None,
+    precond_exponent: float = 0.75,
+    donate: bool = False,
+):
+    """Build the solver-state-sharded HF step over a (data x model) mesh.
+
+    Returns ``step(params, state, batch, precond_diag=None) ->
+    (params, state, stats)`` with
+
+    - batch sharded over ``data_axis`` (skipped when ``data_axis`` is None
+      or absent from the mesh -- pure model-axis sharding),
+    - all flat CG vectors, the iterate-storage grid, the warm start carried
+      in ``state.x0`` and the optional ``precond_diag`` sharded over
+      ``model_axis``,
+    - params replicated, or sharded per ``param_specs`` (tensor
+      parallelism).
+
+    ``ravel.dim`` must be divisible by the ``model_axis`` size; the default
+    ``pad_to_multiple=1024`` flat space satisfies every power-of-two axis up
+    to 1024.  The iterate buffer is forced to the ``"rows"`` layout so each
+    stored iterate shards along its lane dimension.
+    """
+    if model_axis not in mesh.axis_names:
+        raise ValueError(
+            f"Mesh {mesh.axis_names} has no axis named {model_axis!r}."
+        )
+    msize = mesh.shape[model_axis]
+    if ravel.dim % msize != 0:
+        raise ValueError(
+            f"Flat dimension {ravel.dim} is not divisible by the "
+            f"{model_axis!r} axis size {msize}; construct the TrainableRavel "
+            f"with pad_to_multiple a multiple of {msize} (the default 1024 "
+            "covers power-of-two axes)."
+        )
+    use_data = data_axis is not None and data_axis in mesh.axis_names
+
+    # Each stored iterate is a row of a [G+1, n] buffer sharded along n --
+    # the flat 1-D layout would scatter across shard boundaries.
+    if config.cg.buffer_layout != "rows":
+        config = dataclasses.replace(
+            config, cg=dataclasses.replace(config.cg, buffer_layout="rows")
+        )
+
+    repl = NamedSharding(mesh, P())
+    vec_s = NamedSharding(mesh, P(model_axis))
+    buf_s = NamedSharding(mesh, P(None, model_axis))
+    batch_s = NamedSharding(mesh, P(data_axis)) if use_data else repl
+    params_s = None  # resolved lazily from the first params pytree
+
+    def shard_vec(v):
+        return jax.lax.with_sharding_constraint(v, vec_s)
+
+    def shard_buf(b):
+        return jax.lax.with_sharding_constraint(b, buf_s)
+
+    state_s = HFState(x0=vec_s, damping=repl, step_count=repl)
+
+    def _make_jit(params_sharding):
+        @functools.partial(
+            jax.jit,
+            static_argnames=("use_precond",),
+            donate_argnums=(0, 1) if donate else (),
+            out_shardings=(params_sharding, state_s, repl),
+        )
+        def _step(params, state, batch, precond_diag, use_precond):
+            return hf_step(
+                params,
+                state,
+                batch,
+                fns=fns,
+                config=config,
+                ravel=ravel,
+                precond_diag=precond_diag if use_precond else None,
+                precond_exponent=precond_exponent,
+                shard_vec=shard_vec,
+                shard_buf=shard_buf,
+            )
+
+        return _step
+
+    _jitted = {}
+
+    def step(params, state, batch, precond_diag=None):
+        nonlocal params_s
+        if params_s is None:
+            params_s = _param_shardings(mesh, params, param_specs)
+        key = True  # single variant; dict future-proofs donation reuse
+        if key not in _jitted:
+            _jitted[key] = _make_jit(params_s)
+
+        params = jax.tree_util.tree_map(jax.device_put, params, params_s)
+        state = HFState(
+            x0=jax.device_put(state.x0, vec_s),
+            damping=jax.device_put(state.damping, repl),
+            step_count=jax.device_put(state.step_count, repl),
+        )
+        batch = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, batch_s), batch
+        )
+        use_precond = precond_diag is not None
+        if precond_diag is None:
+            precond_diag = jnp.zeros((1,), ravel.dtype)
+        else:
+            precond_diag = jax.device_put(precond_diag, vec_s)
+        return _jitted[key](params, state, batch, precond_diag, use_precond)
+
+    return step

@@ -1,5 +1,6 @@
-"""Native host runtime: C++ prefetching batch loader."""
+"""Native host runtime: C++ prefetching batch loader + device prefetch."""
 
 from .loader import PrefetchLoader
+from .prefetch import DevicePrefetcher
 
-__all__ = ["PrefetchLoader"]
+__all__ = ["PrefetchLoader", "DevicePrefetcher"]

@@ -98,6 +98,12 @@ class PrefetchLoader:
     native dtypes end to end -- integer labels pass through as integers with
     no float round-trip.
 
+    Memory-mapped datasets are supported directly: pass ``np.memmap`` /
+    ``np.load(..., mmap_mode="r")`` arrays (or use :meth:`from_npy`) and the
+    C++ producer threads gather rows straight out of the OS page cache --
+    datasets larger than host RAM stream from disk with no up-front copy
+    (a contiguous memmap passes through ``ascontiguousarray`` unchanged).
+
     Args:
         inputs: [N, ...] array, any dtype and trailing shape.
         targets: [N, ...] array, any dtype (e.g. int32/int64 class labels).
@@ -156,6 +162,24 @@ class PrefetchLoader:
         if not self._h:
             raise ValueError("invalid PrefetchLoader configuration")
         self.batches_per_epoch = int(lib.hfb_batches_per_epoch(self._h))
+
+    @classmethod
+    def from_npy(
+        cls,
+        inputs_path: str,
+        targets_path: str,
+        batch_size: int,
+        **kwargs,
+    ) -> "PrefetchLoader":
+        """Build a loader over memory-mapped ``.npy`` files.
+
+        The arrays are opened with ``mmap_mode="r"``: nothing is read until
+        a producer thread gathers a row, so arbitrarily large datasets cost
+        only page-cache residency.
+        """
+        inputs = np.load(inputs_path, mmap_mode="r")
+        targets = np.load(targets_path, mmap_mode="r")
+        return cls(inputs, targets, batch_size, **kwargs)
 
     def next_batch(self) -> Tuple[np.ndarray, np.ndarray]:
         # fresh buffers per call: the C side copies straight into them, and

@@ -1,0 +1,139 @@
+"""Device-transfer prefetching: overlap host->device copies with compute.
+
+The native batcher (runtime/src/batcher.cpp) overlaps batch *assembly* with
+device execution; this module overlaps the remaining host->device transfer
+too.  A background thread pulls batches from any iterator (typically a
+:class:`~pytorchhessianfree_tpu.runtime.loader.PrefetchLoader`), calls
+``jax.device_put`` -- optionally with a ``Sharding`` so multi-device layouts
+are formed during the overlap, not on the critical path -- and parks the
+resulting device arrays in a bounded queue.  While the optimizer step for
+batch *k* runs on the TPU, batch *k+1*'s DMA is already in flight: consuming
+a batch is a queue pop of ready-on-device buffers.
+
+The reference's pipeline is torch ``DataLoader`` workers + a blocking
+``.to(device)`` per batch inside the train loop
+(reference examples/run_allcnnc_cifar100_deepobs.py:55-60); this is the
+TPU-native equivalent of worker prefetch + pinned-memory ``non_blocking``
+transfers.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Iterator, Optional
+
+import jax
+
+
+class DevicePrefetcher:
+    """Iterator adaptor: batches arrive already resident on device.
+
+    Args:
+        source: iterator yielding pytrees of host arrays (e.g. a
+            ``PrefetchLoader``, or any generator of ``(inputs, targets)``).
+        depth: number of batches transferred ahead (queue bound).  2 is
+            enough to hide the transfer behind any step that outlasts it.
+        sharding: optional ``jax.sharding.Sharding`` (or pytree of them,
+            tree-prefix semantics like ``jax.device_put``) applied during
+            the background transfer -- e.g. a batch-axis ``NamedSharding``
+            so data-parallel shards are laid out off the critical path.
+        n_batches: stop after this many batches (``None`` = run until the
+            source is exhausted or :meth:`close` is called).  Useful for
+            epoch-bounded loops over the endless ``PrefetchLoader`` stream.
+    """
+
+    _SENTINEL = object()
+
+    def __init__(
+        self,
+        source: Iterator[Any],
+        depth: int = 2,
+        sharding: Optional[Any] = None,
+        n_batches: Optional[int] = None,
+    ):
+        if depth < 1:
+            raise ValueError(f"Invalid depth {depth}")
+        self._source = source
+        self._sharding = sharding
+        self._n_batches = n_batches
+        self._q: "queue.Queue[Any]" = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _put(self, item) -> bool:
+        """Bounded put that aborts promptly on close()."""
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def _worker(self):
+        count = 0
+        try:
+            for batch in self._source:
+                if self._stop.is_set():
+                    return
+                if self._sharding is not None:
+                    dev = jax.device_put(batch, self._sharding)
+                else:
+                    dev = jax.device_put(batch)
+                if not self._put(dev):
+                    return
+                count += 1
+                if self._n_batches is not None and count >= self._n_batches:
+                    break
+        except BaseException as e:  # surfaced on the consumer side
+            self._err = e
+        finally:
+            self._put(self._SENTINEL)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        while True:
+            if self._err is not None:
+                err, self._err = self._err, None
+                raise err
+            try:
+                item = self._q.get(timeout=0.1)
+            except queue.Empty:
+                if self._stop.is_set():
+                    raise StopIteration
+                continue
+            if item is self._SENTINEL:
+                if self._err is not None:
+                    err, self._err = self._err, None
+                    raise err
+                raise StopIteration
+            return item
+
+    def close(self):
+        """Stop the background thread and release queued buffers."""
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        if self._thread.is_alive():
+            self._thread.join(timeout=5.0)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass

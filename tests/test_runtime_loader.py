@@ -101,6 +101,89 @@ def test_native_int_labels_no_roundtrip():
     loader.close()
 
 
+def test_mmap_backed_dataset(tmp_path):
+    """PrefetchLoader.from_npy gathers rows straight from memory-mapped
+    files -- no up-front copy of the dataset into RAM."""
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((48, 6)).astype(np.float32)
+    y = np.arange(48, dtype=np.int32)
+    xp, yp = str(tmp_path / "x.npy"), str(tmp_path / "y.npy")
+    np.save(xp, x)
+    np.save(yp, y)
+
+    loader = PrefetchLoader.from_npy(xp, yp, batch_size=12, seed=4)
+    # genuinely mapped: the loader's array is the memmap (or a no-copy view)
+    src = loader._inputs
+    assert isinstance(src, np.memmap) or isinstance(src.base, np.memmap)
+    seen = []
+    for _ in range(loader.batches_per_epoch):
+        bx, by = loader.next_batch()
+        seen.extend(int(v) for v in by)
+        np.testing.assert_array_equal(bx[0], x[int(by[0])])
+    assert sorted(seen) == list(range(48))
+    loader.close()
+
+
+def test_device_prefetcher():
+    """DevicePrefetcher yields batches already on device, same values, and
+    stops after n_batches."""
+    import jax
+
+    from pytorchhessianfree_tpu.runtime.prefetch import DevicePrefetcher
+
+    x, y = _dataset(n=32)
+    loader = PrefetchLoader(x, y, batch_size=8, seed=9)
+    ref = PrefetchLoader(x, y, batch_size=8, seed=9)
+
+    with DevicePrefetcher(loader, depth=2, n_batches=6) as pf:
+        batches = list(pf)
+    assert len(batches) == 6
+    for bx, by in batches:
+        assert isinstance(bx, jax.Array) and isinstance(by, jax.Array)
+        rx, ry = ref.next_batch()
+        np.testing.assert_array_equal(np.asarray(bx), rx)
+        np.testing.assert_array_equal(np.asarray(by), ry)
+    loader.close()
+    ref.close()
+
+
+def test_device_prefetcher_sharded():
+    """The background transfer can lay out data-parallel shards directly."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pytorchhessianfree_tpu.parallel.mesh import make_mesh
+    from pytorchhessianfree_tpu.runtime.prefetch import DevicePrefetcher
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    mesh = make_mesh(8)
+    shard = NamedSharding(mesh, P("data"))
+
+    x, y = _dataset(n=32)
+    loader = PrefetchLoader(x, y, batch_size=16, seed=2)
+    with DevicePrefetcher(loader, sharding=shard, n_batches=2) as pf:
+        bx, by = next(pf)
+        assert bx.sharding.spec == P("data")
+        assert by.sharding.spec == P("data")
+    loader.close()
+
+
+def test_device_prefetcher_error_propagates():
+    from pytorchhessianfree_tpu.runtime.prefetch import DevicePrefetcher
+
+    def bad_source():
+        yield (np.zeros((2, 2)), np.zeros((2,)))
+        raise RuntimeError("boom")
+
+    pf = DevicePrefetcher(bad_source(), depth=2)
+    # the error may surface before or after the one good batch is consumed
+    with pytest.raises(RuntimeError, match="boom"):
+        for _ in pf:
+            pass
+    pf.close()
+
+
 def test_many_threads_epoch_coverage():
     """With several producer threads the (now unserialized) gathers must
     still deliver batches in global order with exact epoch coverage."""

@@ -728,6 +728,8 @@ def hf_acc_step(
     precond_diag: Optional[jax.Array] = None,
     precond_exponent: float = 0.75,
     mvp_amortize: bool = False,
+    shard_vec: Optional[Callable[[jax.Array], jax.Array]] = None,
+    shard_buf: Optional[Callable[[jax.Array], jax.Array]] = None,
 ) -> Tuple[Any, HFState, HFStats]:
     """Accumulated Hessian-free step -- the functional analog of
     ``HessianFree.acc_step`` (reference optimizer.py:519-606).
@@ -773,6 +775,8 @@ def hf_acc_step(
         mvp_vec=mvp_vec,
         loss_at=loss_at,
         M=M,
+        shard_vec=shard_vec,
+        shard_buf=shard_buf,
     )
 
 

@@ -76,6 +76,49 @@ def _param_shardings(mesh: Mesh, params: Any, param_specs: Optional[Any]):
     )
 
 
+def _prepare(
+    config: HFConfig,
+    ravel: TrainableRavel,
+    mesh: Mesh,
+    data_axis: Optional[str],
+    model_axis: str,
+):
+    """Validate the mesh/flat-space fit and build the sharding hooks."""
+    if model_axis not in mesh.axis_names:
+        raise ValueError(
+            f"Mesh {mesh.axis_names} has no axis named {model_axis!r}."
+        )
+    msize = mesh.shape[model_axis]
+    if ravel.dim % msize != 0:
+        raise ValueError(
+            f"Flat dimension {ravel.dim} is not divisible by the "
+            f"{model_axis!r} axis size {msize}; construct the TrainableRavel "
+            f"with pad_to_multiple a multiple of {msize} (the default 1024 "
+            "covers power-of-two axes)."
+        )
+    use_data = data_axis is not None and data_axis in mesh.axis_names
+
+    # Each stored iterate is a row of a [G+1, n] buffer sharded along n --
+    # the flat 1-D layout would scatter across shard boundaries.
+    if config.cg.buffer_layout != "rows":
+        config = dataclasses.replace(
+            config, cg=dataclasses.replace(config.cg, buffer_layout="rows")
+        )
+
+    repl = NamedSharding(mesh, P())
+    vec_s = NamedSharding(mesh, P(model_axis))
+    buf_s = NamedSharding(mesh, P(None, model_axis))
+
+    def shard_vec(v):
+        return jax.lax.with_sharding_constraint(v, vec_s)
+
+    def shard_buf(b):
+        return jax.lax.with_sharding_constraint(b, buf_s)
+
+    state_s = HFState(x0=vec_s, damping=repl, step_count=repl)
+    return config, use_data, repl, vec_s, buf_s, shard_vec, shard_buf, state_s
+
+
 def make_sharded_hf_step(
     fns: HFModelFns,
     config: HFConfig,
@@ -105,40 +148,11 @@ def make_sharded_hf_step(
     to 1024.  The iterate buffer is forced to the ``"rows"`` layout so each
     stored iterate shards along its lane dimension.
     """
-    if model_axis not in mesh.axis_names:
-        raise ValueError(
-            f"Mesh {mesh.axis_names} has no axis named {model_axis!r}."
-        )
-    msize = mesh.shape[model_axis]
-    if ravel.dim % msize != 0:
-        raise ValueError(
-            f"Flat dimension {ravel.dim} is not divisible by the "
-            f"{model_axis!r} axis size {msize}; construct the TrainableRavel "
-            f"with pad_to_multiple a multiple of {msize} (the default 1024 "
-            "covers power-of-two axes)."
-        )
-    use_data = data_axis is not None and data_axis in mesh.axis_names
-
-    # Each stored iterate is a row of a [G+1, n] buffer sharded along n --
-    # the flat 1-D layout would scatter across shard boundaries.
-    if config.cg.buffer_layout != "rows":
-        config = dataclasses.replace(
-            config, cg=dataclasses.replace(config.cg, buffer_layout="rows")
-        )
-
-    repl = NamedSharding(mesh, P())
-    vec_s = NamedSharding(mesh, P(model_axis))
-    buf_s = NamedSharding(mesh, P(None, model_axis))
+    (
+        config, use_data, repl, vec_s, buf_s, shard_vec, shard_buf, state_s
+    ) = _prepare(config, ravel, mesh, data_axis, model_axis)
     batch_s = NamedSharding(mesh, P(data_axis)) if use_data else repl
     params_s = None  # resolved lazily from the first params pytree
-
-    def shard_vec(v):
-        return jax.lax.with_sharding_constraint(v, vec_s)
-
-    def shard_buf(b):
-        return jax.lax.with_sharding_constraint(b, buf_s)
-
-    state_s = HFState(x0=vec_s, damping=repl, step_count=repl)
 
     def _make_jit(params_sharding):
         @functools.partial(
@@ -190,3 +204,167 @@ def make_sharded_hf_step(
         return _jitted[key](params, state, batch, precond_diag, use_precond)
 
     return step
+
+
+def make_sharded_hf_acc_step(
+    fns: HFModelFns,
+    config: HFConfig,
+    ravel: TrainableRavel,
+    mesh: Mesh,
+    data_axis: Optional[str] = "data",
+    model_axis: str = "model",
+    param_specs: Optional[Any] = None,
+    reduction: str = "mean",
+    precond_exponent: float = 0.75,
+    mvp_amortize: bool = False,
+):
+    """Accumulation x solver-state sharding: the stacked-datalist
+    ``acc_step`` (reference optimizer.py:519-606) scanned C chunks deep in
+    time, each chunk's batch axis sharded over ``data_axis``, the whole CG
+    vector space sharded over ``model_axis``.
+
+    Returns ``step(params, state, loss_data, precond_diag=None)`` where
+    ``loss_data`` is a stacked ``(xs [C, N, ...], ys [C, N, ...])`` pytree
+    (N divisible by the data-axis size).
+    """
+    from ..optimizer import hf_acc_step
+
+    (
+        config, use_data, repl, vec_s, buf_s, shard_vec, shard_buf, state_s
+    ) = _prepare(config, ravel, mesh, data_axis, model_axis)
+    chunk_s = (
+        NamedSharding(mesh, P(None, data_axis)) if use_data else repl
+    )
+    params_s = None
+
+    def _make_jit(params_sharding):
+        @functools.partial(
+            jax.jit,
+            static_argnames=("use_precond",),
+            out_shardings=(params_sharding, state_s, repl),
+        )
+        def _step(params, state, loss_data, precond_diag, use_precond):
+            return hf_acc_step(
+                params,
+                state,
+                fns=fns,
+                config=config,
+                ravel=ravel,
+                loss_data=loss_data,
+                reduction=reduction,
+                precond_diag=precond_diag if use_precond else None,
+                precond_exponent=precond_exponent,
+                mvp_amortize=mvp_amortize,
+                shard_vec=shard_vec,
+                shard_buf=shard_buf,
+            )
+
+        return _step
+
+    _jitted = {}
+
+    def step(params, state, loss_data, precond_diag=None):
+        nonlocal params_s
+        if params_s is None:
+            params_s = _param_shardings(mesh, params, param_specs)
+        if True not in _jitted:
+            _jitted[True] = _make_jit(params_s)
+        params = jax.tree_util.tree_map(jax.device_put, params, params_s)
+        state = HFState(
+            x0=jax.device_put(state.x0, vec_s),
+            damping=jax.device_put(state.damping, repl),
+            step_count=jax.device_put(state.step_count, repl),
+        )
+        loss_data = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, chunk_s), loss_data
+        )
+        use_precond = precond_diag is not None
+        if precond_diag is None:
+            precond_diag = jnp.zeros((1,), ravel.dtype)
+        else:
+            precond_diag = jax.device_put(precond_diag, vec_s)
+        return _jitted[True](
+            params, state, loss_data, precond_diag, use_precond
+        )
+
+    return step
+
+
+def make_sharded_hf_train_loop(
+    fns: HFModelFns,
+    config: HFConfig,
+    ravel: TrainableRavel,
+    mesh: Mesh,
+    data_axis: Optional[str] = "data",
+    model_axis: str = "model",
+    param_specs: Optional[Any] = None,
+    precond_exponent: float = 0.75,
+    donate: bool = False,
+):
+    """Scan-of-steps training loop with the solver state sharded.
+
+    The sharded analog of
+    :func:`~pytorchhessianfree_tpu.optimizer.make_hf_train_loop`:
+    ``loop(params, state, batches)`` runs one ``lax.scan`` over full HF
+    steps with every CG vector / the iterate grid sharded over
+    ``model_axis`` and each step's batch sharded over ``data_axis``
+    (``batches`` leaves are stacked ``[T, N, ...]``; the batch axis is the
+    second one).  One dispatch per T steps; collectives by XLA.
+    """
+    (
+        config, use_data, repl, vec_s, buf_s, shard_vec, shard_buf, state_s
+    ) = _prepare(config, ravel, mesh, data_axis, model_axis)
+    batches_s = (
+        NamedSharding(mesh, P(None, data_axis)) if use_data else repl
+    )
+    params_s = None
+
+    def _make_jit(params_sharding):
+        @functools.partial(
+            jax.jit,
+            donate_argnums=(0, 1) if donate else (),
+            out_shardings=(params_sharding, state_s, repl),
+        )
+        def _loop(params, state, batches):
+            def body(carry, batch):
+                p, s = carry
+                p, s, stats = hf_step(
+                    p,
+                    s,
+                    batch,
+                    fns=fns,
+                    config=config,
+                    ravel=ravel,
+                    precond_exponent=precond_exponent,
+                    shard_vec=shard_vec,
+                    shard_buf=shard_buf,
+                )
+                return (p, s), stats
+
+            (params, state), stats = jax.lax.scan(
+                body, (params, state), batches
+            )
+            return params, state, stats
+
+        return _loop
+
+    _jitted = {}
+
+    def loop(params, state, batches):
+        nonlocal params_s
+        if params_s is None:
+            params_s = _param_shardings(mesh, params, param_specs)
+        if True not in _jitted:
+            _jitted[True] = _make_jit(params_s)
+        params = jax.tree_util.tree_map(jax.device_put, params, params_s)
+        state = HFState(
+            x0=jax.device_put(state.x0, vec_s),
+            damping=jax.device_put(state.damping, repl),
+            step_count=jax.device_put(state.step_count, repl),
+        )
+        batches = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, batches_s), batches
+        )
+        return _jitted[True](params, state, batches)
+
+    return loop

@@ -213,6 +213,79 @@ def test_sharded_rich_stats_and_store_dtype():
     )
 
 
+def test_sharded_acc_step_matches_single_device():
+    """Stacked-chunk accumulation with chunks data-sharded AND the CG space
+    model-sharded must match the single-device accumulated step."""
+    from pytorchhessianfree_tpu import hf_acc_step
+    from pytorchhessianfree_tpu.parallel.sharded import (
+        make_sharded_hf_acc_step,
+    )
+
+    params, x, y = _problem(18, N=32)
+    fns, config = _setup()
+    ravel = TrainableRavel(params, pad_to_multiple=8)
+    mesh = make_mesh(8, axis_names=("data", "model"))
+
+    data = (
+        x.reshape(2, 16, SIZES[0]),
+        y.reshape(2, 16, SIZES[-1]),
+    )
+
+    p_s, s_s, st_s = jax.jit(
+        lambda p, s, d: hf_acc_step(
+            p, s, fns=fns, config=config, ravel=ravel,
+            loss_data=d, reduction="mean",
+        )
+    )(params, init_state(ravel, config), data)
+
+    step = make_sharded_hf_acc_step(fns, config, ravel, mesh)
+    p_m, s_m, st_m = step(params, init_state(ravel, config), data)
+
+    _assert_params_close(p_s, p_m)
+    assert int(st_s.num_cg_iters) == int(st_m.num_cg_iters)
+    assert tuple(s_m.x0.sharding.spec) == ("model",)
+    np.testing.assert_allclose(
+        float(st_s.init_loss), float(st_m.init_loss), atol=1e-10
+    )
+
+
+def test_sharded_train_loop_matches_single_device():
+    """The scanned sharded loop follows make_hf_train_loop's trajectory and
+    returns a model-sharded warm start."""
+    from pytorchhessianfree_tpu import make_hf_train_loop
+    from pytorchhessianfree_tpu.parallel.sharded import (
+        make_sharded_hf_train_loop,
+    )
+
+    params, _, _ = _problem(16)
+    fns, config = _setup()
+    ravel = TrainableRavel(params, pad_to_multiple=8)
+    mesh = make_mesh(8, axis_names=("data", "model"))
+
+    T = 3
+    xs, ys = [], []
+    for i in range(T):
+        _, x, y = _problem(30 + i)
+        xs.append(x)
+        ys.append(y)
+    batches = (jnp.stack(xs), jnp.stack(ys))
+
+    loop_single = make_hf_train_loop(fns, config, ravel)
+    loop_sharded = make_sharded_hf_train_loop(fns, config, ravel, mesh)
+
+    p_s, s_s, st_s = loop_single(params, init_state(ravel, config), batches)
+    p_m, s_m, st_m = loop_sharded(params, init_state(ravel, config), batches)
+
+    _assert_params_close(p_s, p_m)
+    assert tuple(s_m.x0.sharding.spec) == ("model",)
+    np.testing.assert_array_equal(
+        np.asarray(st_s.num_cg_iters), np.asarray(st_m.num_cg_iters)
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_s.init_loss), np.asarray(st_m.init_loss), atol=1e-9
+    )
+
+
 if __name__ == "__main__":
     import sys
 

@@ -1029,6 +1029,15 @@ class HessianFree:
         trainable: Optional boolean mask pytree (the analog of per-tensor
             ``requires_grad``, reference optimizer.py:122).
         config: :class:`HFConfig`; or pass its fields as keyword args.
+        mesh: Optional ``jax.sharding.Mesh`` -- the steps run sharded over
+            it.  With a ``model_axis`` axis present the solver state (CG
+            vectors + iterate grid) shards over it and the batch over
+            ``data_axis`` (``parallel.sharded``); with only a data axis the
+            batch shards data-parallel (``parallel.data_parallel``).  The
+            stateful API is otherwise unchanged.
+        param_specs: Optional pytree of ``PartitionSpec`` sharding the
+            weights themselves (tensor parallelism; needs ``mesh`` with a
+            model axis).
     """
 
     def __init__(
@@ -1041,6 +1050,10 @@ class HessianFree:
         trainable=None,
         config: Optional[HFConfig] = None,
         pad_to_multiple: Optional[int] = 1024,
+        mesh=None,
+        data_axis: str = "data",
+        model_axis: str = "model",
+        param_specs=None,
         **config_kwargs,
     ):
         if config is None:
@@ -1071,7 +1084,37 @@ class HessianFree:
             params, trainable, pad_to_multiple=pad_to_multiple
         )
         self.state = init_state(self.ravel, config)
-        self._step = make_hf_step(self.fns, config, self.ravel, donate=True)
+        self.mesh = mesh
+        self._data_axis = data_axis
+        self._model_axis = model_axis
+        self._param_specs = param_specs
+        if mesh is not None:
+            if model_axis in mesh.axis_names:
+                from .parallel.sharded import make_sharded_hf_step
+
+                self._step = make_sharded_hf_step(
+                    self.fns, config, self.ravel, mesh,
+                    data_axis=data_axis, model_axis=model_axis,
+                    param_specs=param_specs, donate=True,
+                )
+            else:
+                if param_specs is not None:
+                    raise ValueError(
+                        "param_specs requires a mesh with a "
+                        f"{model_axis!r} axis."
+                    )
+                from .parallel.data_parallel import make_dp_hf_step
+
+                self._step = make_dp_hf_step(
+                    self.fns, config, self.ravel, mesh,
+                    axis_name=data_axis, donate=True,
+                )
+        else:
+            if param_specs is not None:
+                raise ValueError("param_specs requires mesh.")
+            self._step = make_hf_step(
+                self.fns, config, self.ravel, donate=True
+            )
         self._acc_steps = {}  # jitted acc steps, keyed by reduction
         self.history = {
             "init_losses": [],
@@ -1178,6 +1221,39 @@ class HessianFree:
 
                 warnings.warn(f"Non-deterministic behaviour detected ({res}).")
         cache_key = (reduction, mvp_amortize)
+        if self.mesh is not None:
+            # Mesh-sharded accumulation supports the single stacked datalist
+            # form (use the functional API for independent grad/mvp lists).
+            if grad_data is not None or mvp_data is not None:
+                raise ValueError(
+                    "acc_step with mesh= supports only loss_data (stacked); "
+                    "use hf_acc_step / parallel.* builders for independent "
+                    "grad/mvp datalists."
+                )
+            if cache_key not in self._acc_steps:
+                if self._model_axis in self.mesh.axis_names:
+                    from .parallel.sharded import make_sharded_hf_acc_step
+
+                    self._acc_steps[cache_key] = make_sharded_hf_acc_step(
+                        self.fns, self.config, self.ravel, self.mesh,
+                        data_axis=self._data_axis,
+                        model_axis=self._model_axis,
+                        param_specs=self._param_specs,
+                        reduction=reduction, mvp_amortize=mvp_amortize,
+                    )
+                else:
+                    from .parallel.data_parallel import make_dp_hf_acc_step
+
+                    self._acc_steps[cache_key] = make_dp_hf_acc_step(
+                        self.fns, self.config, self.ravel, self.mesh,
+                        axis_name=self._data_axis,
+                        reduction=reduction, mvp_amortize=mvp_amortize,
+                    )
+            self.params, self.state, stats = self._acc_steps[cache_key](
+                self.params, self.state, loss_data,
+                precond_diag=precond_diag,
+            )
+            return self._record(stats)
         if cache_key not in self._acc_steps:
             self._acc_steps[cache_key] = make_hf_acc_step(
                 self.fns, self.config, self.ravel, reduction,
@@ -1210,7 +1286,21 @@ class HessianFree:
         Note: the reference's method of the same name drops its return value
         and always yields ``None``, silently disabling preconditioning
         (reference optimizer.py:943-952) -- fixed here.
+
+        With ``mesh=``, the per-sample gradients are computed with the batch
+        sharded over the data axis (``parallel.dp_diag_EF``).
         """
+        if (
+            self.mesh is not None
+            and self._data_axis in self.mesh.axis_names
+            and not use_scan
+        ):
+            from .parallel.data_parallel import dp_diag_EF
+
+            return dp_diag_EF(
+                self.fns, self.params, inputs, targets, reduction,
+                self.ravel, self.mesh, axis_name=self._data_axis,
+            )
         fn = diag_EF_scan if use_scan else diag_EF
         return fn(
             self.fns.model_fn,

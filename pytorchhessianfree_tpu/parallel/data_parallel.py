@@ -173,6 +173,71 @@ def make_dp_hf_step_shardmap(
     return step
 
 
+def make_dp_hf_acc_step(
+    fns: HFModelFns,
+    config: HFConfig,
+    ravel: TrainableRavel,
+    mesh: Mesh,
+    axis_name: str = "data",
+    reduction: str = "mean",
+    precond_exponent: float = 0.75,
+    mvp_amortize: bool = False,
+):
+    """GSPMD accumulation x data parallelism: the stacked datalist is
+    scanned C chunks deep in time with each chunk's BATCH axis sharded over
+    the mesh; XLA derives the per-chunk collectives.  The GSPMD sibling of
+    :func:`make_dp_hf_acc_step_shardmap` (same math, annotations instead of
+    explicit psums), with preconditioner support.
+
+    Returns ``step(params, state, loss_data, precond_diag=None)`` with
+    ``loss_data`` a stacked ``(xs [C, N, ...], ys [C, N, ...])`` pytree.
+    """
+    from ..optimizer import hf_acc_step
+
+    repl = NamedSharding(mesh, P())
+    chunk_s = NamedSharding(mesh, P(None, axis_name))
+
+    @functools.partial(
+        jax.jit, static_argnames=("use_precond",), out_shardings=repl
+    )
+    def _step(params, state, loss_data, precond_diag, use_precond):
+        return hf_acc_step(
+            params,
+            state,
+            fns=fns,
+            config=config,
+            ravel=ravel,
+            loss_data=loss_data,
+            reduction=reduction,
+            precond_diag=precond_diag if use_precond else None,
+            precond_exponent=precond_exponent,
+            mvp_amortize=mvp_amortize,
+        )
+
+    def step(params, state, loss_data, precond_diag=None):
+        from ..accumulate import _is_stacked
+
+        if not _is_stacked(loss_data):
+            raise ValueError(
+                "make_dp_hf_acc_step requires a STACKED datalist "
+                "(xs [C, N, ...], ys [C, N, ...]); see "
+                "accumulate.pad_ragged_datalist for ragged chunks."
+            )
+        params = jax.device_put(params, repl)
+        state = jax.device_put(state, repl)
+        loss_data = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, chunk_s), loss_data
+        )
+        use_precond = precond_diag is not None
+        if precond_diag is None:
+            precond_diag = jnp.zeros((1,), ravel.dtype)
+        else:
+            precond_diag = jax.device_put(precond_diag, repl)
+        return _step(params, state, loss_data, precond_diag, use_precond)
+
+    return step
+
+
 def make_dp_hf_acc_step_shardmap(
     fns: HFModelFns,
     config: HFConfig,

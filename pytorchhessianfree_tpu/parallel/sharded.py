@@ -264,6 +264,14 @@ def make_sharded_hf_acc_step(
     _jitted = {}
 
     def step(params, state, loss_data, precond_diag=None):
+        from ..accumulate import _is_stacked
+
+        if not _is_stacked(loss_data):
+            raise ValueError(
+                "make_sharded_hf_acc_step requires a STACKED datalist "
+                "(xs [C, N, ...], ys [C, N, ...]); see "
+                "accumulate.pad_ragged_datalist for ragged chunks."
+            )
         nonlocal params_s
         if params_s is None:
             params_s = _param_shardings(mesh, params, param_specs)

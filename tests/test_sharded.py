@@ -286,6 +286,56 @@ def test_sharded_train_loop_matches_single_device():
     )
 
 
+@pytest.mark.parametrize("mesh_axes", ["dp", "sharded"])
+def test_wrapper_mesh_matches_plain(mesh_axes):
+    """HessianFree(mesh=...) -- the stateful reference-style API runs the
+    DP / solver-sharded step with an unchanged trajectory."""
+    from pytorchhessianfree_tpu import HessianFree
+
+    params, _, _ = _problem(40)
+    if mesh_axes == "dp":
+        mesh = make_mesh(8)  # data only
+    else:
+        mesh = make_mesh(8, axis_names=("data", "model"))
+
+    opt_plain = HessianFree(
+        params, model_fn=mlp_apply, loss_outer=mse_loss, damping=0.5,
+        cg_max_iter=50,
+    )
+    opt_mesh = HessianFree(
+        params, model_fn=mlp_apply, loss_outer=mse_loss, damping=0.5,
+        cg_max_iter=50, mesh=mesh,
+    )
+
+    for i in range(2):
+        _, x, y = _problem(41 + i)
+        opt_plain.step((x, y))
+        opt_mesh.step((x, y))
+    _assert_params_close(opt_plain.params, opt_mesh.params)
+    assert opt_plain.history["num_cg_iters"] == opt_mesh.history["num_cg_iters"]
+    if mesh_axes == "sharded":
+        assert tuple(opt_mesh.state.x0.sharding.spec) == ("model",)
+
+    # preconditioner construction routes through the mesh and agrees
+    _, x, y = _problem(45)
+    d_plain = opt_plain.get_preconditioner(x, y, "mean")
+    d_mesh = opt_mesh.get_preconditioner(x, y, "mean")
+    np.testing.assert_allclose(
+        np.asarray(d_plain), np.asarray(d_mesh), rtol=1e-9, atol=1e-12
+    )
+
+    # stacked acc_step through the wrapper
+    _, x, y = _problem(46, N=32)
+    data = (x.reshape(2, 16, SIZES[0]), y.reshape(2, 16, SIZES[-1]))
+    opt_plain.acc_step(data)
+    opt_mesh.acc_step(data)
+    _assert_params_close(opt_plain.params, opt_mesh.params)
+
+    # independent datalists are functional-API territory under mesh=
+    with pytest.raises(ValueError, match="only loss_data"):
+        opt_mesh.acc_step(data, grad_data=data)
+
+
 if __name__ == "__main__":
     import sys
 

@@ -27,15 +27,27 @@ def initialize_distributed(
 
     On TPU pods with standard orchestration (GKE/TPU-VM metadata) all
     arguments are auto-detected and this is ``jax.distributed.initialize()``.
-    No-op when the process group is already initialized or when running
-    single-process.
+    No-op when the process group is already initialized.
+
+    Must run BEFORE any operation that initializes a JAX backend
+    (``jax.devices()``, ``jax.process_count()``, any computation) -- the
+    runtime cannot be re-wired afterwards.  For that reason the
+    already-initialized probe inspects the distributed client directly
+    instead of calling ``jax.process_count()`` (which would itself
+    initialize a single-process backend and make the subsequent
+    ``initialize`` silently impossible).
+
+    With explicit arguments a failure RAISES (a requested multi-process
+    layout that cannot form is a real error); with no arguments it is
+    best-effort and stays single-process when no coordinator is detected.
     """
     try:
-        already = jax.process_count() > 1
+        from jax._src import distributed as _dist
+
+        if _dist.global_state.client is not None:
+            return  # already wired
     except Exception:
-        already = False
-    if already:
-        return
+        pass  # private-API drift: fall through to initialize
     kwargs = {}
     if coordinator_address is not None:
         kwargs["coordinator_address"] = coordinator_address
@@ -43,8 +55,11 @@ def initialize_distributed(
         kwargs["num_processes"] = num_processes
     if process_id is not None:
         kwargs["process_id"] = process_id
-    try:
+    if kwargs:
         jax.distributed.initialize(**kwargs)
+        return
+    try:
+        jax.distributed.initialize()
     except (ValueError, RuntimeError):
         # single-process environments (no coordinator) stay single-process
         pass

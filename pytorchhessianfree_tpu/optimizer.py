@@ -677,7 +677,7 @@ def make_hf_train_loop(
                 inputs, targets = batch
                 d = diag_EF(
                     fns.model_fn, fns.loss_outer, p, inputs, targets,
-                    "mean", ravel,
+                    "mean", ravel, loss_reg=fns.loss_reg,
                 )
                 # A loop-local "EMA seeded" flag (NOT step_count == 0): when
                 # the loop resumes from a checkpoint with step_count > 0, the

@@ -308,6 +308,7 @@ def make_sharded_hf_train_loop(
     param_specs: Optional[Any] = None,
     precond_exponent: float = 0.75,
     donate: bool = False,
+    precond_ema_decay: Optional[float] = None,
 ):
     """Scan-of-steps training loop with the solver state sharded.
 
@@ -318,7 +319,20 @@ def make_sharded_hf_train_loop(
     ``model_axis`` and each step's batch sharded over ``data_axis``
     (``batches`` leaves are stacked ``[T, N, ...]``; the batch axis is the
     second one).  One dispatch per T steps; collectives by XLA.
+
+    ``precond_ema_decay``: carry an EMA empirical-Fisher diagonal across
+    the scanned steps (same semantics as ``make_hf_train_loop``); the EMA
+    vector is itself sharded over the model axis.
     """
+    if precond_ema_decay is not None:
+        if not 0.0 <= precond_ema_decay < 1.0:
+            raise ValueError(f"Invalid decay {precond_ema_decay}")
+        if fns.model_fn is None or fns.loss_outer is None:
+            raise ValueError(
+                "precond_ema_decay requires the split model form "
+                "(per-sample gradients need model_fn + loss_outer)."
+            )
+
     (
         config, use_data, repl, vec_s, buf_s, shard_vec, shard_buf, state_s
     ) = _prepare(config, ravel, mesh, data_axis, model_axis)
@@ -335,7 +349,29 @@ def make_sharded_hf_train_loop(
         )
         def _loop(params, state, batches):
             def body(carry, batch):
-                p, s = carry
+                p, s, ema, ema_ready = carry
+                if precond_ema_decay is not None:
+                    from ..ops.precond import diag_EF
+
+                    inputs, targets = batch
+                    d = shard_vec(
+                        diag_EF(
+                            fns.model_fn, fns.loss_outer, p, inputs,
+                            targets, "mean", ravel, loss_reg=fns.loss_reg,
+                        )
+                    )
+                    ema = shard_vec(
+                        jnp.where(
+                            ema_ready,
+                            precond_ema_decay * ema
+                            + (1.0 - precond_ema_decay) * d,
+                            d,
+                        )
+                    )
+                    ema_ready = jnp.asarray(True)
+                    precond_diag = ema
+                else:
+                    precond_diag = None
                 p, s, stats = hf_step(
                     p,
                     s,
@@ -343,14 +379,16 @@ def make_sharded_hf_train_loop(
                     fns=fns,
                     config=config,
                     ravel=ravel,
+                    precond_diag=precond_diag,
                     precond_exponent=precond_exponent,
                     shard_vec=shard_vec,
                     shard_buf=shard_buf,
                 )
-                return (p, s), stats
+                return (p, s, ema, ema_ready), stats
 
-            (params, state), stats = jax.lax.scan(
-                body, (params, state), batches
+            ema0 = shard_vec(jnp.zeros((ravel.dim,), ravel.dtype))
+            (params, state, _, _), stats = jax.lax.scan(
+                body, (params, state, ema0, jnp.asarray(False)), batches
             )
             return params, state, stats
 

@@ -286,6 +286,40 @@ def test_sharded_train_loop_matches_single_device():
     )
 
 
+def test_sharded_train_loop_ema_matches_single_device():
+    """EMA diag-EF preconditioning through the sharded scanned loop follows
+    the single-device loop's trajectory (EMA vector model-sharded)."""
+    from pytorchhessianfree_tpu import make_hf_train_loop
+    from pytorchhessianfree_tpu.parallel.sharded import (
+        make_sharded_hf_train_loop,
+    )
+
+    params, _, _ = _problem(50)
+    fns, config = _setup()
+    ravel = TrainableRavel(params, pad_to_multiple=8)
+    mesh = make_mesh(8, axis_names=("data", "model"))
+
+    T = 3
+    xs, ys = [], []
+    for i in range(T):
+        _, x, y = _problem(51 + i)
+        xs.append(x)
+        ys.append(y)
+    batches = (jnp.stack(xs), jnp.stack(ys))
+
+    loop_single = make_hf_train_loop(fns, config, ravel,
+                                     precond_ema_decay=0.9)
+    loop_sharded = make_sharded_hf_train_loop(
+        fns, config, ravel, mesh, precond_ema_decay=0.9
+    )
+    p_s, _, st_s = loop_single(params, init_state(ravel, config), batches)
+    p_m, _, st_m = loop_sharded(params, init_state(ravel, config), batches)
+    _assert_params_close(p_s, p_m)
+    np.testing.assert_array_equal(
+        np.asarray(st_s.num_cg_iters), np.asarray(st_m.num_cg_iters)
+    )
+
+
 @pytest.mark.parametrize("mesh_axes", ["dp", "sharded"])
 def test_wrapper_mesh_matches_plain(mesh_axes):
     """HessianFree(mesh=...) -- the stateful reference-style API runs the

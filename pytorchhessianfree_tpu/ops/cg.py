@@ -142,6 +142,11 @@ def cg(
             :func:`~pytorchhessianfree_tpu.parallel.make_sharded_hf_step` to
             keep the whole CG vector space sharded across a device mesh.
         shard_buf: same, for the iterate-storage buffer (its largest array).
+            The buffer's rank depends on ``buffer_layout``: ``"rows"`` passes
+            a ``[G+1, n]`` array (shard the last axis), ``"flat"`` a 1-D
+            ``[(G+1)*n]`` array -- a rank-2 PartitionSpec with the default
+            flat layout will fail inside the trace.  The ``parallel.sharded``
+            builders force ``"rows"`` for exactly this reason.
     """
     if nonpos_curv_option not in ("ignore", "saddle-free"):
         raise ValueError(f"Unknown option {nonpos_curv_option}.")

@@ -1095,7 +1095,8 @@ class HessianFree:
                 self._step = make_sharded_hf_step(
                     self.fns, config, self.ravel, mesh,
                     data_axis=data_axis, model_axis=model_axis,
-                    param_specs=param_specs, donate=True,
+                    param_specs=param_specs,
+                    precond_exponent=config.precond_exponent, donate=True,
                 )
             else:
                 if param_specs is not None:
@@ -1107,13 +1108,15 @@ class HessianFree:
 
                 self._step = make_dp_hf_step(
                     self.fns, config, self.ravel, mesh,
-                    axis_name=data_axis, donate=True,
+                    axis_name=data_axis,
+                    precond_exponent=config.precond_exponent, donate=True,
                 )
         else:
             if param_specs is not None:
                 raise ValueError("param_specs requires mesh.")
             self._step = make_hf_step(
-                self.fns, config, self.ravel, donate=True
+                self.fns, config, self.ravel,
+                precond_exponent=config.precond_exponent, donate=True,
             )
         self._acc_steps = {}  # jitted acc steps, keyed by reduction
         self.history = {
@@ -1239,7 +1242,9 @@ class HessianFree:
                         data_axis=self._data_axis,
                         model_axis=self._model_axis,
                         param_specs=self._param_specs,
-                        reduction=reduction, mvp_amortize=mvp_amortize,
+                        reduction=reduction,
+                        precond_exponent=self.config.precond_exponent,
+                        mvp_amortize=mvp_amortize,
                     )
                 else:
                     from .parallel.data_parallel import make_dp_hf_acc_step
@@ -1247,7 +1252,9 @@ class HessianFree:
                     self._acc_steps[cache_key] = make_dp_hf_acc_step(
                         self.fns, self.config, self.ravel, self.mesh,
                         axis_name=self._data_axis,
-                        reduction=reduction, mvp_amortize=mvp_amortize,
+                        reduction=reduction,
+                        precond_exponent=self.config.precond_exponent,
+                        mvp_amortize=mvp_amortize,
                     )
             self.params, self.state, stats = self._acc_steps[cache_key](
                 self.params, self.state, loss_data,
@@ -1257,6 +1264,7 @@ class HessianFree:
         if cache_key not in self._acc_steps:
             self._acc_steps[cache_key] = make_hf_acc_step(
                 self.fns, self.config, self.ravel, reduction,
+                precond_exponent=self.config.precond_exponent,
                 mvp_amortize=mvp_amortize,
             )
         self.params, self.state, stats = self._acc_steps[cache_key](
@@ -1275,13 +1283,14 @@ class HessianFree:
         inputs: jax.Array,
         targets: jax.Array,
         reduction: str,
-        exponent: Optional[float] = None,
         use_scan: bool = False,
     ) -> jax.Array:
         """Empirical-Fisher diagonal for this optimizer's model at the current
         params.  Returns the diagonal (pass it to :meth:`step` as
         ``precond_diag``); the ``(D + damping)^(-exponent)`` closure is built
-        inside the jitted step with the *live* damping.
+        inside the jitted step with the *live* damping and
+        ``config.precond_exponent`` (the reference's ``exponent`` argument,
+        reference preconditioners.py:108).
 
         Note: the reference's method of the same name drops its return value
         and always yields ``None``, silently disabling preconditioning

@@ -56,7 +56,13 @@ def initialize_distributed(
     if process_id is not None:
         kwargs["process_id"] = process_id
     if kwargs:
-        jax.distributed.initialize(**kwargs)
+        try:
+            jax.distributed.initialize(**kwargs)
+        except RuntimeError as e:
+            # Idempotency guard independent of the private-state probe
+            # above: a repeat call is fine, anything else is a real error.
+            if "already initialized" not in str(e).lower():
+                raise
         return
     try:
         jax.distributed.initialize()

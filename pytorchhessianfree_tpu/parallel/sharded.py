@@ -119,6 +119,51 @@ def _prepare(
     return config, use_data, repl, vec_s, buf_s, shard_vec, shard_buf, state_s
 
 
+class _Placer:
+    """Shared input-placement + lazy-jit machinery of the three builders.
+
+    Parameter shardings are resolved from the FIRST params pytree seen
+    (``param_specs`` may be a tree prefix that needs the concrete
+    structure), the jitted program is built once, and every call places
+    params/state/precond on the mesh before dispatch.
+    """
+
+    def __init__(self, mesh, param_specs, ravel, vec_s, repl, make_jit):
+        self._mesh = mesh
+        self._specs = param_specs
+        self._ravel = ravel
+        self._vec_s = vec_s
+        self._repl = repl
+        self._make_jit = make_jit
+        self._params_s = None
+        self._fn = None
+
+    def resolve(self, params):
+        """-> (jitted_fn, placed_params)."""
+        if self._params_s is None:
+            self._params_s = _param_shardings(
+                self._mesh, params, self._specs
+            )
+            self._fn = self._make_jit(self._params_s)
+        placed = jax.tree_util.tree_map(
+            jax.device_put, params, self._params_s
+        )
+        return self._fn, placed
+
+    def place_state(self, state: HFState) -> HFState:
+        return HFState(
+            x0=jax.device_put(state.x0, self._vec_s),
+            damping=jax.device_put(state.damping, self._repl),
+            step_count=jax.device_put(state.step_count, self._repl),
+        )
+
+    def place_precond(self, precond_diag):
+        """-> (placed_diag_or_placeholder, use_precond)."""
+        if precond_diag is None:
+            return jnp.zeros((1,), self._ravel.dtype), False
+        return jax.device_put(precond_diag, self._vec_s), True
+
+
 def make_sharded_hf_step(
     fns: HFModelFns,
     config: HFConfig,
@@ -152,7 +197,6 @@ def make_sharded_hf_step(
         config, use_data, repl, vec_s, buf_s, shard_vec, shard_buf, state_s
     ) = _prepare(config, ravel, mesh, data_axis, model_axis)
     batch_s = NamedSharding(mesh, P(data_axis)) if use_data else repl
-    params_s = None  # resolved lazily from the first params pytree
 
     def _make_jit(params_sharding):
         @functools.partial(
@@ -177,31 +221,16 @@ def make_sharded_hf_step(
 
         return _step
 
-    _jitted = {}
+    placer = _Placer(mesh, param_specs, ravel, vec_s, repl, _make_jit)
 
     def step(params, state, batch, precond_diag=None):
-        nonlocal params_s
-        if params_s is None:
-            params_s = _param_shardings(mesh, params, param_specs)
-        key = True  # single variant; dict future-proofs donation reuse
-        if key not in _jitted:
-            _jitted[key] = _make_jit(params_s)
-
-        params = jax.tree_util.tree_map(jax.device_put, params, params_s)
-        state = HFState(
-            x0=jax.device_put(state.x0, vec_s),
-            damping=jax.device_put(state.damping, repl),
-            step_count=jax.device_put(state.step_count, repl),
-        )
+        fn, params = placer.resolve(params)
+        state = placer.place_state(state)
         batch = jax.tree_util.tree_map(
             lambda x: jax.device_put(x, batch_s), batch
         )
-        use_precond = precond_diag is not None
-        if precond_diag is None:
-            precond_diag = jnp.zeros((1,), ravel.dtype)
-        else:
-            precond_diag = jax.device_put(precond_diag, vec_s)
-        return _jitted[key](params, state, batch, precond_diag, use_precond)
+        precond_diag, use_precond = placer.place_precond(precond_diag)
+        return fn(params, state, batch, precond_diag, use_precond)
 
     return step
 
@@ -235,7 +264,6 @@ def make_sharded_hf_acc_step(
     chunk_s = (
         NamedSharding(mesh, P(None, data_axis)) if use_data else repl
     )
-    params_s = None
 
     def _make_jit(params_sharding):
         @functools.partial(
@@ -261,7 +289,7 @@ def make_sharded_hf_acc_step(
 
         return _step
 
-    _jitted = {}
+    placer = _Placer(mesh, param_specs, ravel, vec_s, repl, _make_jit)
 
     def step(params, state, loss_data, precond_diag=None):
         from ..accumulate import _is_stacked
@@ -272,28 +300,13 @@ def make_sharded_hf_acc_step(
                 "(xs [C, N, ...], ys [C, N, ...]); see "
                 "accumulate.pad_ragged_datalist for ragged chunks."
             )
-        nonlocal params_s
-        if params_s is None:
-            params_s = _param_shardings(mesh, params, param_specs)
-        if True not in _jitted:
-            _jitted[True] = _make_jit(params_s)
-        params = jax.tree_util.tree_map(jax.device_put, params, params_s)
-        state = HFState(
-            x0=jax.device_put(state.x0, vec_s),
-            damping=jax.device_put(state.damping, repl),
-            step_count=jax.device_put(state.step_count, repl),
-        )
+        fn, params = placer.resolve(params)
+        state = placer.place_state(state)
         loss_data = jax.tree_util.tree_map(
             lambda x: jax.device_put(x, chunk_s), loss_data
         )
-        use_precond = precond_diag is not None
-        if precond_diag is None:
-            precond_diag = jnp.zeros((1,), ravel.dtype)
-        else:
-            precond_diag = jax.device_put(precond_diag, vec_s)
-        return _jitted[True](
-            params, state, loss_data, precond_diag, use_precond
-        )
+        precond_diag, use_precond = placer.place_precond(precond_diag)
+        return fn(params, state, loss_data, precond_diag, use_precond)
 
     return step
 
@@ -339,7 +352,6 @@ def make_sharded_hf_train_loop(
     batches_s = (
         NamedSharding(mesh, P(None, data_axis)) if use_data else repl
     )
-    params_s = None
 
     def _make_jit(params_sharding):
         @functools.partial(
@@ -394,23 +406,14 @@ def make_sharded_hf_train_loop(
 
         return _loop
 
-    _jitted = {}
+    placer = _Placer(mesh, param_specs, ravel, vec_s, repl, _make_jit)
 
     def loop(params, state, batches):
-        nonlocal params_s
-        if params_s is None:
-            params_s = _param_shardings(mesh, params, param_specs)
-        if True not in _jitted:
-            _jitted[True] = _make_jit(params_s)
-        params = jax.tree_util.tree_map(jax.device_put, params, params_s)
-        state = HFState(
-            x0=jax.device_put(state.x0, vec_s),
-            damping=jax.device_put(state.damping, repl),
-            step_count=jax.device_put(state.step_count, repl),
-        )
+        fn, params = placer.resolve(params)
+        state = placer.place_state(state)
         batches = jax.tree_util.tree_map(
             lambda x: jax.device_put(x, batches_s), batches
         )
-        return _jitted[True](params, state, batches)
+        return fn(params, state, batches)
 
     return loop

@@ -60,6 +60,7 @@ class DevicePrefetcher:
         self._q: "queue.Queue[Any]" = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
         self._err: Optional[BaseException] = None
+        self._done = False  # sentinel consumed -> StopIteration forever
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
@@ -97,17 +98,21 @@ class DevicePrefetcher:
         return self
 
     def __next__(self):
+        # Already-transferred batches are delivered BEFORE any source error
+        # is surfaced (the error arrives in stream order, at the point the
+        # source actually failed); once exhausted, StopIteration repeats.
+        if self._done:
+            raise StopIteration
         while True:
-            if self._err is not None:
-                err, self._err = self._err, None
-                raise err
             try:
                 item = self._q.get(timeout=0.1)
             except queue.Empty:
                 if self._stop.is_set():
+                    self._done = True
                     raise StopIteration
                 continue
             if item is self._SENTINEL:
+                self._done = True
                 if self._err is not None:
                     err, self._err = self._err, None
                     raise err

@@ -15,6 +15,7 @@ import sys
 pid = int(sys.argv[1])
 nproc = int(sys.argv[2])
 port = sys.argv[3]
+mode = sys.argv[4] if len(sys.argv) > 4 else "dp"  # "dp" | "sharded"
 
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
@@ -66,7 +67,16 @@ assert jax.process_count() == nproc, jax.process_count()
 assert jax.device_count() == 4 * nproc, jax.device_count()
 assert jax.local_device_count() == 4
 
-mesh = jax.sharding.Mesh(np.array(jax.devices()).reshape(-1), ("data",))
+if mode == "sharded":
+    # 2-D mesh straddling the process boundary: the data axis runs ACROSS
+    # processes (each host's shard stays host-local), the model axis runs
+    # over each host's 4 local devices (solver-state collectives stay
+    # intra-host -- the ICI-vs-DCN layout of a real pod).
+    mesh = jax.sharding.Mesh(
+        np.array(jax.devices()).reshape(nproc, 4), ("data", "model")
+    )
+else:
+    mesh = jax.sharding.Mesh(np.array(jax.devices()).reshape(-1), ("data",))
 repl = NamedSharding(mesh, P())
 shard = NamedSharding(mesh, P("data"))
 
@@ -79,7 +89,7 @@ y = jax.random.normal(ky, (N, 3), jnp.float64)
 
 fns = HFModelFns(model_fn=mlp_apply, loss_outer=mse_loss)
 config = HFConfig(damping=0.5, cg_max_iter=30)
-ravel = TrainableRavel(params)
+ravel = TrainableRavel(params, pad_to_multiple=8 if mode == "sharded" else None)
 
 # every host feeds ONLY its slice of the global batch
 sl = global_batch_slice(N)
@@ -99,30 +109,39 @@ gparams = jax.tree_util.tree_map(lambda a: to_global(a, repl), params)
 state0 = init_state(ravel, config)
 gstate = jax.tree_util.tree_map(lambda a: to_global(a, repl), state0)
 
-step_dp = make_dp_hf_step(fns, config, ravel, mesh)
+if mode == "sharded":
+    from pytorchhessianfree_tpu.parallel.sharded import make_sharded_hf_step
+
+    step_dp = make_sharded_hf_step(fns, config, ravel, mesh)
+else:
+    step_dp = make_dp_hf_step(fns, config, ravel, mesh)
 p_dp, s_dp, st_dp = step_dp(gparams, gstate, (gx, gy))
 jax.block_until_ready(p_dp)
+if mode == "sharded":
+    assert tuple(s_dp.x0.sharding.spec) == ("model",)
 
 # replicated outputs are fully addressable on every process
 p_dp_host = jax.tree_util.tree_map(np.asarray, jax.device_get(p_dp))
 
-# single-device oracle on the full batch (local devices only)
-single_dev = jax.local_devices()[0]
-step_1 = make_hf_step(fns, config, ravel)
-with jax.default_device(single_dev):
-    p_1, s_1, st_1 = step_1(
-        jax.device_put(params, single_dev),
-        init_state(ravel, config),
-        (jax.device_put(x, single_dev), jax.device_put(y, single_dev)),
-    )
-p_1_host = jax.tree_util.tree_map(np.asarray, jax.device_get(p_1))
+if pid == 0:
+    # single-device oracle on the full batch (process 0 only -- the DP
+    # result is identical on every process by construction)
+    single_dev = jax.local_devices()[0]
+    step_1 = make_hf_step(fns, config, ravel)
+    with jax.default_device(single_dev):
+        p_1, s_1, st_1 = step_1(
+            jax.device_put(params, single_dev),
+            init_state(ravel, config),
+            (jax.device_put(x, single_dev), jax.device_put(y, single_dev)),
+        )
+    p_1_host = jax.tree_util.tree_map(np.asarray, jax.device_get(p_1))
 
-for a, b in zip(
-    jax.tree_util.tree_leaves(p_1_host),
-    jax.tree_util.tree_leaves(p_dp_host),
-):
-    np.testing.assert_allclose(a, b, atol=1e-8)
-assert int(st_dp.num_cg_iters) == int(st_1.num_cg_iters)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_1_host),
+        jax.tree_util.tree_leaves(p_dp_host),
+    ):
+        np.testing.assert_allclose(a, b, atol=1e-8)
+    assert int(st_dp.num_cg_iters) == int(st_1.num_cg_iters)
 
-print(f"worker {pid}/{nproc}: ok "
+print(f"worker {pid}/{nproc} [{mode}]: ok "
       f"(cg {int(st_dp.num_cg_iters)}, loss {float(st_dp.init_loss):.6f})")

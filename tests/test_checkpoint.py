@@ -86,3 +86,51 @@ def test_npz_leaf_count_mismatch():
         bad_template = {"only": jnp.zeros(3)}
         with pytest.raises(ValueError):
             restore_npz(path, bad_template)
+
+
+@pytest.mark.parametrize("backend", ["npz", "orbax"])
+def test_checkpoint_roundtrip_sharded_state(backend, tmp_path):
+    """A model-axis-sharded HFState checkpoints and resumes identically on
+    the mesh (the restored warm start is re-placed by the sharded step)."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from pytorchhessianfree_tpu.parallel.mesh import make_mesh
+    from pytorchhessianfree_tpu.parallel.sharded import make_sharded_hf_step
+
+    key = jax.random.PRNGKey(5)
+    params = init_mlp(key, sizes=(7, 16, 16, 4), dtype=jnp.float64)
+    fns = HFModelFns(model_fn=mlp_apply, loss_outer=mse_loss)
+    config = HFConfig(damping=0.5, cg_max_iter=30)
+    ravel = TrainableRavel(params, pad_to_multiple=8)
+    mesh = make_mesh(8, axis_names=("data", "model"))
+    step = make_sharded_hf_step(fns, config, ravel, mesh)
+
+    kx, ky = jax.random.split(key)
+    b1 = (
+        jax.random.normal(kx, (16, 7), jnp.float64),
+        jax.random.normal(ky, (16, 4), jnp.float64),
+    )
+    b2 = (
+        jax.random.normal(ky, (16, 7), jnp.float64),
+        jax.random.normal(kx, (16, 4), jnp.float64),
+    )
+
+    p1, s1, _ = step(params, init_state(ravel, config), b1)
+    assert tuple(s1.x0.sharding.spec) == ("model",)
+
+    path = str(tmp_path / "ckpt")
+    if backend == "npz":
+        save_npz(path + ".npz", p1, s1)
+        p_r, s_r, _ = restore_npz(path + ".npz", params)
+    else:
+        save(path, p1, s1)
+        p_r, s_r, _ = restore(path)
+
+    # uninterrupted vs resumed second step
+    p2, s2, st2 = step(p1, s1, b2)
+    p2_r, s2_r, st2_r = step(p_r, s_r, b2)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p2), jax.tree_util.tree_leaves(p2_r)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(st2.num_cg_iters) == int(st2_r.num_cg_iters)

@@ -44,12 +44,19 @@ def test_global_batch_slice_fake_process_layouts():
         global_batch_slice(64, 0, 0)
 
 
-def test_two_process_dp_step_matches_single_device():
+import pytest
+
+
+@pytest.mark.parametrize("mode", ["dp", "sharded"])
+def test_two_process_step_matches_single_device(mode):
     """REAL multi-process validation (VERDICT r1 weak #3): two separate OS
     processes x 4 virtual CPU devices each join over a local coordinator
     (gloo collectives), every process feeds only its global_batch_slice
-    rows, and the 8-device data-parallel HF step must match the
-    single-device step -- see tests/_distributed_worker.py."""
+    rows, and the 8-device step must match the single-device step -- see
+    tests/_distributed_worker.py.  mode="sharded" uses a 2-D mesh whose
+    data axis runs ACROSS the processes and whose model axis (solver-state
+    sharding) runs over each host's local devices -- the ICI-vs-DCN layout
+    of a real pod."""
     worker = os.path.join(os.path.dirname(__file__), "_distributed_worker.py")
 
     # a free port for the coordinator
@@ -65,7 +72,7 @@ def test_two_process_dp_step_matches_single_device():
 
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(i), "2", str(port)],
+            [sys.executable, worker, str(i), "2", str(port), mode],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
@@ -84,4 +91,4 @@ def test_two_process_dp_step_matches_single_device():
         outs.append(out)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
-        assert f"worker {i}/2: ok" in out, out[-3000:]
+        assert f"worker {i}/2 [{mode}]: ok" in out, out[-3000:]

@@ -363,3 +363,53 @@ def test_deterministic_check_catches_impure_pipeline():
         fns, config, ravel, params, (x, y), batch_factory=lambda: (x, y)
     )
     assert res2["data_reproducible"] is True
+
+
+def test_wrapper_honors_precond_exponent():
+    """config.precond_exponent must reach the jitted step the wrapper
+    builds (it used to be silently 0.75 regardless)."""
+    from pytorchhessianfree_tpu import hf_step
+
+    key = jax.random.PRNGKey(3)
+    params = init_mlp(key, dtype=jnp.float64)
+    kx, ky = jax.random.split(key)
+    x = jax.random.normal(kx, (16, 7), jnp.float64)
+    y = jax.random.normal(ky, (16, 3), jnp.float64)
+
+    results = {}
+    for expo in (0.75, 1.0):
+        opt = HessianFree(
+            params, model_fn=mlp_apply, loss_outer=mse_loss,
+            damping=0.5, cg_max_iter=30, precond_exponent=expo,
+        )
+        diag = opt.get_preconditioner(x, y, reduction="mean")
+        opt.step((x, y), precond_diag=diag)
+        results[expo] = opt.params
+
+        # oracle: the functional step with the same exponent
+        fns = HFModelFns(model_fn=mlp_apply, loss_outer=mse_loss)
+        config = HFConfig(damping=0.5, cg_max_iter=30,
+                          precond_exponent=expo)
+        ravel = TrainableRavel(params, pad_to_multiple=1024)
+        p_ref, _, _ = jax.jit(
+            lambda p, s, b, d: hf_step(
+                p, s, b, fns=fns, config=config, ravel=ravel,
+                precond_diag=d, precond_exponent=expo,
+            )
+        )(params, init_state(ravel, config), (x, y), diag)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(results[expo]),
+            jax.tree_util.tree_leaves(p_ref),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-10)
+
+    # and the exponent genuinely changes the trajectory
+    diffs = [
+        float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(results[0.75]),
+            jax.tree_util.tree_leaves(results[1.0]),
+        )
+    ]
+    assert max(diffs) > 1e-8

@@ -169,6 +169,22 @@ def test_device_prefetcher_sharded():
     loader.close()
 
 
+def test_device_prefetcher_stopiteration_repeats():
+    """Exhausted prefetcher raises StopIteration on EVERY subsequent next()
+    (iterator protocol) instead of busy-waiting forever."""
+    from pytorchhessianfree_tpu.runtime.prefetch import DevicePrefetcher
+
+    x, y = _dataset(n=16)
+    loader = PrefetchLoader(x, y, batch_size=8, seed=1)
+    pf = DevicePrefetcher(loader, n_batches=2)
+    assert len(list(pf)) == 2
+    for _ in range(3):
+        with pytest.raises(StopIteration):
+            next(pf)
+    pf.close()
+    loader.close()
+
+
 def test_device_prefetcher_error_propagates():
     from pytorchhessianfree_tpu.runtime.prefetch import DevicePrefetcher
 

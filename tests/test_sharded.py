@@ -178,11 +178,15 @@ def test_sharded_validation():
             fns, config, TrainableRavel(params, pad_to_multiple=8), mesh,
             model_axis="tensor",
         )
-    # unpadded MLP dim is 468+... not divisible by 4? build one that isn't:
+    # unpadded MLP dim is 468; 468 % 8 = 4 -> the 8-way model mesh must
+    # reject it with the pad_to_multiple hint
     ravel_unpadded = TrainableRavel(params)
-    if ravel_unpadded.dim % mesh.shape["model"] != 0:
-        with pytest.raises(ValueError, match="not divisible"):
-            make_sharded_hf_step(fns, config, ravel_unpadded, mesh)
+    mesh8 = make_mesh(8, axis_names=("model",))
+    assert ravel_unpadded.dim % 8 != 0  # guard: keep the branch live
+    with pytest.raises(ValueError, match="not divisible"):
+        make_sharded_hf_step(
+            fns, config, ravel_unpadded, mesh8, data_axis=None
+        )
 
 
 def test_sharded_rich_stats_and_store_dtype():

@@ -68,3 +68,51 @@ def freeze_first_layer_mask(params):
 def dense_hessian(loss_of_vec, vec):
     """Dense Hessian oracle via jax.hessian on the flat vector."""
     return jax.hessian(loss_of_vec)(vec)
+
+
+def test_solver_memory_bytes():
+    """Sizing estimates: grid dominates, bf16 storage halves it, model-axis
+    sharding divides the per-device share."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytorchhessianfree_tpu import HFConfig, TrainableRavel
+    from pytorchhessianfree_tpu.models import init_mlp
+    from pytorchhessianfree_tpu.ops.cg import storing_grid
+    from pytorchhessianfree_tpu.utils.memory import (
+        format_solver_memory,
+        solver_memory_bytes,
+    )
+
+    params = init_mlp(jax.random.PRNGKey(0), dtype=jnp.float32)
+    ravel = TrainableRavel(params, pad_to_multiple=1024)
+    config = HFConfig(cg_max_iter=50)
+
+    m = solver_memory_bytes(ravel, config)
+    G = len(storing_grid(50, config.cg.grid_gamma))
+    assert m["flat_dim"] == ravel.dim
+    assert m["iterate_grid_rows"] == G + 1
+    assert m["iterate_grid_bytes"] == (G + 1) * ravel.dim * 4
+    assert m["total"] == m["cg_vectors_bytes"] + m["iterate_grid_bytes"]
+    assert m["per_device"] == m["total"]
+
+    # bf16 storage halves the grid
+    import dataclasses
+
+    cfg_bf16 = dataclasses.replace(
+        config, cg=dataclasses.replace(config.cg, store_dtype="bfloat16")
+    )
+    m2 = solver_memory_bytes(ravel, cfg_bf16)
+    assert m2["iterate_grid_bytes"] == m["iterate_grid_bytes"] // 2
+
+    # model-axis sharding divides the per-device share
+    m4 = solver_memory_bytes(ravel, config, model_axis_size=4)
+    assert m4["per_device"] == m["total"] // 4
+
+    # no backtracking -> warm-start row + scratch only
+    cfg_nobt = HFConfig(cg_max_iter=50, use_cg_backtracking=False)
+    m3 = solver_memory_bytes(ravel, cfg_nobt)
+    assert m3["iterate_grid_rows"] == 2
+
+    s = format_solver_memory(ravel, config, model_axis_size=4)
+    assert "per device" in s and "MB" in s

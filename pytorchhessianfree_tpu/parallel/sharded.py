@@ -57,9 +57,12 @@ def _param_shardings(mesh: Mesh, params: Any, param_specs: Optional[Any]):
     """Pytree of NamedShardings for the parameter pytree.
 
     ``param_specs`` may be ``None`` (fully replicated), a single
-    ``PartitionSpec`` applied to every leaf, or a pytree of specs /
-    ``NamedSharding``s matching the parameter structure (``None`` leaves =
-    replicated).
+    ``PartitionSpec`` applied to every leaf, or a TREE PREFIX of the
+    parameter structure whose leaves are specs / ``NamedSharding``s /
+    ``None`` (= replicated) -- a spec at an interior position broadcasts
+    over the whole parameter subtree (e.g. one ``P()`` for a layernorm's
+    ``{"scale", "bias"}`` dict), the same prefix semantics as jit's
+    ``in_shardings``.
     """
     repl = NamedSharding(mesh, P())
     if param_specs is None:
@@ -69,10 +72,15 @@ def _param_shardings(mesh: Mesh, params: Any, param_specs: Optional[Any]):
         return jax.tree_util.tree_map(lambda _: s, params)
 
     is_spec = lambda x: x is None or isinstance(x, (P, NamedSharding))
+
+    def expand(spec, params_subtree):
+        s = repl if spec is None else _as_sharding(mesh, spec)
+        return jax.tree_util.tree_map(lambda _: s, params_subtree)
+
+    # tree_map flattens `params` UP TO param_specs' structure, handing each
+    # spec leaf its parameter subtree -- prefix broadcasting.
     return jax.tree_util.tree_map(
-        lambda spec: repl if spec is None else _as_sharding(mesh, spec),
-        param_specs,
-        is_leaf=is_spec,
+        expand, param_specs, params, is_leaf=is_spec
     )
 
 

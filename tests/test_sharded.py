@@ -290,6 +290,75 @@ def test_sharded_train_loop_matches_single_device():
     )
 
 
+def test_sharded_transformer_megatron_tp():
+    """Megatron-style tensor parallelism through the second-order step: QKV
+    and FF1 weights column-sharded, proj and FF2 row-sharded over the model
+    axis; the HF trajectory (GGN through attention) is unchanged."""
+    from pytorchhessianfree_tpu.models import cross_entropy_loss
+    from pytorchhessianfree_tpu.models.transformer import (
+        init_transformer,
+        transformer_apply,
+    )
+
+    key = jax.random.PRNGKey(0)
+    params = init_transformer(
+        key, vocab=12, d_model=16, n_layers=2, d_ff=32, num_classes=4,
+        max_len=8, dtype=jnp.float64,
+    )
+    fns = HFModelFns(
+        model_fn=lambda p, x: transformer_apply(p, x, n_heads=4),
+        loss_outer=cross_entropy_loss,
+    )
+    config = HFConfig(damping=1.0, cg_max_iter=25)
+    ravel = TrainableRavel(params, pad_to_multiple=8)
+    mesh = make_mesh(8, axis_names=("data", "model"))
+
+    col, row = P(None, "model"), P("model", None)
+    param_specs = {
+        "embed": P(None, "model"),
+        "pos": P(None, "model"),
+        "head": {"w": col, "b": P("model")},
+        "blocks": [
+            {
+                "ln1": P(), "ln2": P(),
+                "qkv": {"w": col, "b": P("model")},
+                "proj": {"w": row, "b": P()},
+                "ff1": {"w": col, "b": P("model")},
+                "ff2": {"w": row, "b": P()},
+            }
+            for _ in range(2)
+        ],
+    }
+
+    def make_batch(seed):
+        k = jax.random.PRNGKey(seed)
+        tokens = jax.random.randint(k, (16, 8), 0, 12)
+        labels = jax.random.randint(jax.random.fold_in(k, 1), (16,), 0, 4)
+        return tokens, labels
+
+    step_single = make_hf_step(fns, config, ravel)
+    step_tp = make_sharded_hf_step(
+        fns, config, ravel, mesh, param_specs=param_specs
+    )
+
+    p_s, p_m = params, params
+    state_s = init_state(ravel, config)
+    state_m = init_state(ravel, config)
+    # partitioned attention einsums reorder the reductions, and the CG
+    # warm-start feedback amplifies the fp drift geometrically across
+    # steps (measured ~1e-8 after step 1, ~1e-6 after step 2 in f64)
+    for i, atol in enumerate((1e-7, 1e-5)):
+        batch = make_batch(60 + i)
+        p_s, state_s, st_s = step_single(p_s, state_s, batch)
+        p_m, state_m, st_m = step_tp(p_m, state_m, batch)
+        _assert_params_close(p_s, p_m, atol=atol)
+        assert int(st_s.num_cg_iters) == int(st_m.num_cg_iters)
+
+    # updated weights keep the Megatron layout
+    assert tuple(p_m["blocks"][0]["qkv"]["w"].sharding.spec) == (None, "model")
+    assert tuple(p_m["blocks"][0]["proj"]["w"].sharding.spec) == ("model", None)
+
+
 def test_sharded_train_loop_ema_matches_single_device():
     """EMA diag-EF preconditioning through the sharded scanned loop follows
     the single-device loop's trajectory (EMA vector model-sharded)."""

@@ -49,10 +49,20 @@ class CGConfig:
     # (layout-identical dynamic_update_slice writes); "rows" uses a [G+1, n]
     # buffer.  Performance-only knob; results are identical.
     buffer_layout: str = "flat"
+    # Off-grid iteration handling for the iterate store: "cond" (default)
+    # skips the store via lax.cond whose false branch is the identity --
+    # one fewer n-vector HBM write on the (majority) off-grid iterations,
+    # measured 16% faster ResNet-18 steps in-process with bit-identical
+    # results (BENCH_DETAILS.md, benchmarks/store_mode_bench.py);
+    # "scratch" writes every iterate (off-grid ones into a dead scratch
+    # row -- read-free scatter).
+    store_mode: str = "cond"
 
     def __post_init__(self):
         if self.buffer_layout not in ("flat", "rows"):
             raise ValueError(f"Unknown buffer_layout {self.buffer_layout}")
+        if self.store_mode not in ("scratch", "cond"):
+            raise ValueError(f"Unknown store_mode {self.store_mode}")
         if self.grid_gamma < 1.0:
             raise ValueError(f"Invalid gamma = {self.grid_gamma}")
         if self.nonpos_curv_option not in ("ignore", "saddle-free"):

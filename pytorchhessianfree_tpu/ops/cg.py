@@ -112,6 +112,7 @@ def cg(
     nonpos_curv_option: str = "ignore",
     store_dtype=None,
     buffer_layout: str = "flat",
+    store_mode: str = "cond",
     shard_vec: Optional[Callable[[jax.Array], jax.Array]] = None,
     shard_buf: Optional[Callable[[jax.Array], jax.Array]] = None,
 ) -> CGResult:
@@ -152,6 +153,8 @@ def cg(
         raise ValueError(f"Unknown option {nonpos_curv_option}.")
     if buffer_layout not in ("flat", "rows"):
         raise ValueError(f"Unknown buffer_layout {buffer_layout}")
+    if store_mode not in ("scratch", "cond"):
+        raise ValueError(f"Unknown store_mode {store_mode}")
     sv = shard_vec if shard_vec is not None else (lambda v: v)
     sb = shard_buf if shard_buf is not None else (lambda v: v)
 
@@ -197,20 +200,25 @@ def cg(
     #   row of a 2-D buffer whose row length is not lane-aligned forces a
     #   re-tiling copy (~2.6 ms/iter observed); a 1-D dynamic_update_slice
     #   at offset idx*n is layout-identical and aliases in place.
-    # - Slot G is a SCRATCH row written on off-grid iterations, keeping the
-    #   scatter read-free (a conditional read-modify-write blocks XLA's
-    #   in-place aliasing and copies the whole buffer every iteration).
+    # - store_mode="scratch" (default): slot G is a SCRATCH row written on
+    #   off-grid iterations, keeping the scatter read-free (a conditional
+    #   read-modify-write blocks XLA's in-place aliasing and copies the
+    #   whole buffer every iteration).  store_mode="cond" skips the store
+    #   through a lax.cond whose false branch is the identity -- one fewer
+    #   n-vector HBM write on the (majority) off-grid iterations; identical
+    #   results.  Measurements in BENCH_DETAILS.md.
     # - Optional reduced-precision storage (``store_dtype``) halves the
     #   buffer traffic; backtracking casts candidates back on read.
     sdtype = jnp.dtype(store_dtype) if store_dtype is not None else dtype
+    rows = G + 1 if store_mode == "scratch" else max(G, 1)
     if buffer_layout == "flat":
-        x_buf = jnp.zeros(((G + 1) * n,), sdtype)
+        x_buf = jnp.zeros((rows * n,), sdtype)
         if G and stored_iters[0] == 0:
             x_buf = jax.lax.dynamic_update_slice(
                 x_buf, x0.astype(sdtype), (0,)
             )
     else:  # "rows"
-        x_buf = jnp.zeros((G + 1, n), sdtype)
+        x_buf = jnp.zeros((rows, n), sdtype)
         if G and stored_iters[0] == 0:
             x_buf = x_buf.at[0].set(x0.astype(sdtype))
     x_buf = sb(x_buf)
@@ -245,17 +253,37 @@ def cg(
         else:
             res_norm = jnp.linalg.norm(r_new)
 
-        # Scatter the iterate into its grid slot, or the scratch row when
-        # this iteration is not on the grid (reference cg.py:209-210).
+        # Scatter the iterate into its grid slot; off-grid iterations write
+        # the scratch row or skip the store per store_mode (the reference
+        # appends None off-grid, cg.py:209-210).
         if G:
             slot = slot_of_iter[it]
-            idx = jnp.where(slot >= 0, slot, G)
-            if buffer_layout == "flat":
-                x_buf = jax.lax.dynamic_update_slice(
-                    x_buf, x_new.astype(sdtype), (idx * n,)
+            if store_mode == "scratch":
+                idx = jnp.where(slot >= 0, slot, G)
+                if buffer_layout == "flat":
+                    x_buf = jax.lax.dynamic_update_slice(
+                        x_buf, x_new.astype(sdtype), (idx * n,)
+                    )
+                else:
+                    x_buf = x_buf.at[idx].set(x_new.astype(sdtype))
+            else:  # "cond"
+                idx = jnp.maximum(slot, 0)
+
+                if buffer_layout == "flat":
+
+                    def write(buf):
+                        return jax.lax.dynamic_update_slice(
+                            buf, x_new.astype(sdtype), (idx * n,)
+                        )
+
+                else:
+
+                    def write(buf):
+                        return buf.at[idx].set(x_new.astype(sdtype))
+
+                x_buf = jax.lax.cond(
+                    slot >= 0, write, lambda buf: buf, x_buf
                 )
-            else:
-                x_buf = x_buf.at[idx].set(x_new.astype(sdtype))
             x_buf = sb(x_buf)
 
         m_hist = m_hist.at[it].set(m)

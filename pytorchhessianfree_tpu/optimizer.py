@@ -238,6 +238,7 @@ def _step_core(
         nonpos_curv_option=config.cg.nonpos_curv_option,
         store_dtype=config.cg.store_dtype,
         buffer_layout=config.cg.buffer_layout,
+        store_mode=config.cg.store_mode,
         shard_vec=shard_vec,
         shard_buf=shard_buf,
     )

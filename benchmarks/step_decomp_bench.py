@@ -125,7 +125,7 @@ for i in range(3):
         results[name].append((time.perf_counter() - t0, int(st.num_cg_iters)))
     t0 = time.perf_counter()
     run("mv", matvec_chain, params, v0)
-    results[f"matvec_chain({MV})"].append((time.perf_counter() - t0, 35))
+    results[f"matvec_chain({MV})"].append((time.perf_counter() - t0, MV))
 
 for name, ts in results.items():
     ts.sort()

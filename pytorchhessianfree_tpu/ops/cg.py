@@ -200,13 +200,16 @@ def cg(
     #   row of a 2-D buffer whose row length is not lane-aligned forces a
     #   re-tiling copy (~2.6 ms/iter observed); a 1-D dynamic_update_slice
     #   at offset idx*n is layout-identical and aliases in place.
-    # - store_mode="scratch" (default): slot G is a SCRATCH row written on
-    #   off-grid iterations, keeping the scatter read-free (a conditional
-    #   read-modify-write blocks XLA's in-place aliasing and copies the
-    #   whole buffer every iteration).  store_mode="cond" skips the store
+    # - store_mode="cond" (default): off-grid iterations SKIP the store
     #   through a lax.cond whose false branch is the identity -- one fewer
-    #   n-vector HBM write on the (majority) off-grid iterations; identical
-    #   results.  Measurements in BENCH_DETAILS.md.
+    #   n-vector HBM write on the (majority) off-grid iterations, measured
+    #   16% faster full steps in-process with bit-identical results.
+    #   store_mode="scratch" writes every iterate (off-grid ones into a
+    #   dead scratch row at slot G), keeping the scatter read-free.  The
+    #   one FORBIDDEN form is a conditional read-modify-write
+    #   (where(slot>=0, x_new, buf[row])): it blocks XLA's in-place
+    #   aliasing and copies the whole buffer every iteration.
+    #   Measurements in BENCH_DETAILS.md.
     # - Optional reduced-precision storage (``store_dtype``) halves the
     #   buffer traffic; backtracking casts candidates back on read.
     sdtype = jnp.dtype(store_dtype) if store_dtype is not None else dtype

@@ -17,7 +17,7 @@ Composition with data parallelism is a 2-D mesh ``(data, model)``:
   reductions into ``psum``s over that axis (same mechanism as
   :func:`make_dp_hf_step`);
 - the flat CG vectors (iterate, residual, direction, warm start, gradient,
-  preconditioner diagonal) and the ``[G+1, n]`` iterate grid are sharded
+  preconditioner diagonal) and the iterate-storage grid are sharded
   over ``model`` -- vector memory and elementwise traffic split across the
   axis, dots gain one small ``psum``;
 - model parameters are replicated by default, or sharded with user-provided
@@ -106,7 +106,7 @@ def _prepare(
         )
     use_data = data_axis is not None and data_axis in mesh.axis_names
 
-    # Each stored iterate is a row of a [G+1, n] buffer sharded along n --
+    # Each stored iterate is a row of a [rows, n] buffer sharded along n --
     # the flat 1-D layout would scatter across shard boundaries.
     if config.cg.buffer_layout != "rows":
         config = dataclasses.replace(

@@ -56,7 +56,9 @@ def solver_memory_bytes(
         if config.cg.store_dtype is not None
         else jnp.dtype(ravel.dtype)
     )
-    grid_bytes = (G + 1) * n * sdtype.itemsize  # +1 scratch row
+    # store_mode="cond" (default) has no scratch row; "scratch" adds one
+    rows = G + 1 if config.cg.store_mode == "scratch" else max(G, 1)
+    grid_bytes = rows * n * sdtype.itemsize
 
     # carried through the while_loop: x, r, p (+ y when preconditioned,
     # counted as the precond diagonal's application scratch), plus the
@@ -70,7 +72,7 @@ def solver_memory_bytes(
         "flat_dim": n,
         "vector_bytes": vec_bytes,
         "cg_vectors_bytes": vectors_bytes,
-        "iterate_grid_rows": G + 1,
+        "iterate_grid_rows": rows,
         "iterate_grid_bytes": grid_bytes,
         "precond_diag_bytes": precond_bytes,
         "total": total,

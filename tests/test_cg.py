@@ -238,3 +238,74 @@ if __name__ == "__main__":
     test_pcg_identity_and_inverse(seed=0, dim=10)
     test_martens_criterion_triggers()
     print("test_cg.py direct run: OK")
+
+
+def test_store_modes_bit_identical():
+    """store_mode="cond" (default, skips off-grid stores) and "scratch"
+    (writes a dead scratch row) must produce bit-identical CG results AND
+    bit-identical full optimizer steps (the cond's correctness claim,
+    BENCH_DETAILS)."""
+    import dataclasses
+
+    from pytorchhessianfree_tpu import (
+        HFConfig,
+        HFModelFns,
+        TrainableRavel,
+        init_state,
+        make_hf_step,
+    )
+    from pytorchhessianfree_tpu.models.mlp import (
+        init_mlp,
+        mlp_apply,
+        mse_loss,
+    )
+
+    # bare cg: random SPD system, automatic grid
+    A, b, _ = get_linear_system(24, seed=3, dtype=jnp.float64)
+    results = {}
+    for mode in ("cond", "scratch"):
+        results[mode] = jax.jit(
+            lambda b, m=mode: cg(
+                lambda v: A @ v, b, max_iter=20,
+                martens_conv_crit=True, store_x_at_iters=None,
+                store_mode=m,
+            )
+        )(b)
+    np.testing.assert_array_equal(
+        np.asarray(results["cond"].x), np.asarray(results["scratch"].x)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(results["cond"].x_buf),
+        np.asarray(results["scratch"].x_buf),
+    )
+    assert int(results["cond"].num_iters) == int(
+        results["scratch"].num_iters
+    )
+
+    # full HF step (backtracking reads the buffer)
+    key = jax.random.PRNGKey(2)
+    params = init_mlp(key, dtype=jnp.float64)
+    fns = HFModelFns(model_fn=mlp_apply, loss_outer=mse_loss)
+    ravel = TrainableRavel(params)
+    kx, ky = jax.random.split(key)
+    batch = (
+        jax.random.normal(kx, (16, 7), jnp.float64),
+        jax.random.normal(ky, (16, 3), jnp.float64),
+    )
+    outs = {}
+    for mode in ("cond", "scratch"):
+        config = HFConfig(damping=0.5, cg_max_iter=30)
+        config = dataclasses.replace(
+            config, cg=dataclasses.replace(config.cg, store_mode=mode)
+        )
+        step = make_hf_step(fns, config, ravel)
+        p, _, st = step(params, init_state(ravel, config), batch)
+        outs[mode] = (p, st)
+    for a, b2 in zip(
+        jax.tree_util.tree_leaves(outs["cond"][0]),
+        jax.tree_util.tree_leaves(outs["scratch"][0]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b2))
+    assert int(outs["cond"][1].best_cg_iter) == int(
+        outs["scratch"][1].best_cg_iter
+    )

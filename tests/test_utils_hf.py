@@ -91,14 +91,22 @@ def test_solver_memory_bytes():
     m = solver_memory_bytes(ravel, config)
     G = len(storing_grid(50, config.cg.grid_gamma))
     assert m["flat_dim"] == ravel.dim
-    assert m["iterate_grid_rows"] == G + 1
-    assert m["iterate_grid_bytes"] == (G + 1) * ravel.dim * 4
+    # default store_mode="cond": no scratch row
+    assert m["iterate_grid_rows"] == G
+    assert m["iterate_grid_bytes"] == G * ravel.dim * 4
     assert m["total"] == m["cg_vectors_bytes"] + m["iterate_grid_bytes"]
     assert m["per_device"] == m["total"]
 
-    # bf16 storage halves the grid
+    # store_mode="scratch" adds the scratch row
     import dataclasses
 
+    cfg_scr = dataclasses.replace(
+        config, cg=dataclasses.replace(config.cg, store_mode="scratch")
+    )
+    ms = solver_memory_bytes(ravel, cfg_scr)
+    assert ms["iterate_grid_rows"] == G + 1
+
+    # bf16 storage halves the grid
     cfg_bf16 = dataclasses.replace(
         config, cg=dataclasses.replace(config.cg, store_dtype="bfloat16")
     )
@@ -109,10 +117,10 @@ def test_solver_memory_bytes():
     m4 = solver_memory_bytes(ravel, config, model_axis_size=4)
     assert m4["per_device"] == m["total"] // 4
 
-    # no backtracking -> warm-start row + scratch only
+    # no backtracking: cond keeps only the warm-start row
     cfg_nobt = HFConfig(cg_max_iter=50, use_cg_backtracking=False)
     m3 = solver_memory_bytes(ravel, cfg_nobt)
-    assert m3["iterate_grid_rows"] == 2
+    assert m3["iterate_grid_rows"] == 1
 
     s = format_solver_memory(ravel, config, model_axis_size=4)
     assert "per device" in s and "MB" in s

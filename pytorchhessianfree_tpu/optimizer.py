@@ -1179,9 +1179,17 @@ class HessianFree:
         batch: Any,
         precond_diag: Optional[jax.Array] = None,
         test_deterministic: bool = False,
+        M: Optional[Callable[[jax.Array], jax.Array]] = None,
     ) -> float:
         """One update step on ``batch``; returns the final mini-batch loss
-        (reference optimizer.py:126-363)."""
+        (reference optimizer.py:126-363).
+
+        ``M``: arbitrary preconditioner matvec closure, the reference's
+        ``M_func`` argument (reference optimizer.py:126-133).  The jitted
+        step is cached per closure object; prefer ``precond_diag`` (one
+        compiled program for any diagonal) when the preconditioner is
+        diagonal.  Not combinable with ``mesh=``.
+        """
         if test_deterministic:
             res = check_deterministic(
                 self.fns, self.config, self.ravel, self.params, batch
@@ -1194,6 +1202,30 @@ class HessianFree:
                     f"({res}). CG's quadratic model assumes a fixed batch "
                     "and deterministic model."
                 )
+        if M is not None:
+            if precond_diag is not None:
+                raise ValueError("Pass either M or precond_diag, not both.")
+            if self.mesh is not None:
+                raise ValueError(
+                    "Custom M closures are not supported with mesh=; use "
+                    "the functional hf_step with shard hooks instead."
+                )
+            key = ("M", id(M))
+            if key not in self._acc_steps:
+                fns, config, ravel = self.fns, self.config, self.ravel
+
+                @jax.jit
+                def _m_step(params, state, batch):
+                    return hf_step(
+                        params, state, batch, fns=fns, config=config,
+                        ravel=ravel, M=M,
+                    )
+
+                self._acc_steps[key] = _m_step
+            self.params, self.state, stats = self._acc_steps[key](
+                self.params, self.state, batch
+            )
+            return self._record(stats)
         self.params, self.state, stats = self._step(
             self.params, self.state, batch, precond_diag
         )

@@ -413,3 +413,43 @@ def test_wrapper_honors_precond_exponent():
         )
     ]
     assert max(diffs) > 1e-8
+
+
+def test_wrapper_custom_M_closure():
+    """The reference's M_func argument through the stateful wrapper
+    (reference optimizer.py:126-133): a custom preconditioner closure must
+    match passing the equivalent diagonal."""
+    key = jax.random.PRNGKey(11)
+    params = init_mlp(key, dtype=jnp.float64)
+    kx, ky = jax.random.split(key)
+    x = jax.random.normal(kx, (16, 7), jnp.float64)
+    y = jax.random.normal(ky, (16, 3), jnp.float64)
+
+    opt_diag = HessianFree(
+        params, model_fn=mlp_apply, loss_outer=mse_loss, damping=0.5,
+        cg_max_iter=30, pad_to_multiple=None,
+    )
+    diag = opt_diag.get_preconditioner(x, y, reduction="mean")
+    opt_diag.step((x, y), precond_diag=diag)
+
+    # equivalent closure: (D + damping)^(-0.75) with the same live damping
+    damping = 0.5
+    M = lambda r: r / (diag + damping) ** 0.75
+
+    opt_M = HessianFree(
+        params, model_fn=mlp_apply, loss_outer=mse_loss, damping=0.5,
+        cg_max_iter=30, pad_to_multiple=None,
+    )
+    opt_M.step((x, y), M=M)
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(opt_diag.params),
+        jax.tree_util.tree_leaves(opt_M.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+    assert opt_diag.history["num_cg_iters"] == opt_M.history["num_cg_iters"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not both"):
+        opt_M.step((x, y), precond_diag=diag, M=M)

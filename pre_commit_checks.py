@@ -17,6 +17,7 @@ STEPS = [
     [sys.executable, "examples/run_small_nn.py", "--cpu"],
     [sys.executable, "examples/run_small_nn_acc.py", "--cpu"],
     [sys.executable, "examples/run_sharded.py", "--cpu"],
+    [sys.executable, "examples/run_pipeline.py", "--cpu"],
 ]
 
 OPTIONAL = [

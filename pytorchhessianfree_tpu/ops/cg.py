@@ -144,8 +144,10 @@ def cg(
             keep the whole CG vector space sharded across a device mesh.
         shard_buf: same, for the iterate-storage buffer (its largest array).
             The buffer's rank depends on ``buffer_layout``: ``"rows"`` passes
-            a ``[G+1, n]`` array (shard the last axis), ``"flat"`` a 1-D
-            ``[(G+1)*n]`` array -- a rank-2 PartitionSpec with the default
+            a ``[rows, n]`` array (shard the last axis; ``rows`` is ``G``
+            under the default ``store_mode="cond"``, ``G+1`` with the
+            scratch row), ``"flat"`` a 1-D ``[rows*n]`` array -- a rank-2
+            PartitionSpec with the default
             flat layout will fail inside the trace.  The ``parallel.sharded``
             builders force ``"rows"`` for exactly this reason.
     """
@@ -196,7 +198,7 @@ def cg(
 
     # Iterate storage layout, tuned from v5e profiles of an 11M-param model:
     #
-    # - FLAT [(G+1) * n] buffer, not [G+1, n]: writing a 1-D vector into a
+    # - FLAT [rows * n] buffer, not [rows, n]: writing a 1-D vector into a
     #   row of a 2-D buffer whose row length is not lane-aligned forces a
     #   re-tiling copy (~2.6 ms/iter observed); a 1-D dynamic_update_slice
     #   at offset idx*n is layout-identical and aliases in place.

@@ -412,7 +412,11 @@ def fused_trials(
     after0 = 1 if p1 else after1
     first = 0 if eval_f0 else after0
 
-    L = ls_max_iter if use_linesearch else (1 if compute_final_loss else 0)
+    # Returned alpha/f trace length: the standalone path exposes no trace
+    # without a line search, so the fused path matches with L = 0 (the
+    # compute_final_loss-only evaluation still runs, via the 1-slot
+    # scratch trace buffer below, but is not surfaced).
+    L = ls_max_iter if use_linesearch else 0
 
     carry0 = dict(
         phase=jnp.asarray(first, jnp.int32),

@@ -595,6 +595,16 @@ def hf_step(
     )
 
 
+def precond_arg(precond_diag, ravel: TrainableRavel):
+    """Normalize an optional preconditioner diagonal for the jitted-step
+    calling convention shared by every step builder: ``None`` becomes a
+    dummy ``(1,)`` vector plus a static ``use_precond=False`` flag (jit
+    cannot take an optional array operand without retracing)."""
+    if precond_diag is None:
+        return jnp.zeros((1,), ravel.dtype), False
+    return precond_diag, True
+
+
 def make_hf_step(
     fns: HFModelFns,
     config: HFConfig,
@@ -629,9 +639,7 @@ def make_hf_step(
         )
 
     def step(params, state, batch, precond_diag=None):
-        use_precond = precond_diag is not None
-        if precond_diag is None:
-            precond_diag = jnp.zeros((1,), ravel.dtype)  # unused placeholder
+        precond_diag, use_precond = precond_arg(precond_diag, ravel)
         return _step(params, state, batch, precond_diag, use_precond)
 
     return step
@@ -820,9 +828,7 @@ def make_hf_acc_step(
             grad_data = loss_data
         if mvp_data is None:
             mvp_data = loss_data
-        use_precond = precond_diag is not None
-        if precond_diag is None:
-            precond_diag = jnp.zeros((1,), ravel.dtype)
+        precond_diag, use_precond = precond_arg(precond_diag, ravel)
         return _step(params, state, loss_data, grad_data, mvp_data,
                      precond_diag, use_precond)
 
@@ -942,9 +948,15 @@ def check_deterministic(
         b2 = batch_factory()
         leaves1 = jax.tree_util.tree_leaves(b1)
         leaves2 = jax.tree_util.tree_leaves(b2)
+        def leaves_equal(a, b):
+            # leaves may be plain Python scalars (e.g. weights in a
+            # (targets, w) pytree) -- normalize before comparing
+            a = jnp.asarray(a)
+            b = jnp.asarray(b)
+            return a.shape == b.shape and bool(jnp.allclose(a, b))
+
         results["data_reproducible"] = len(leaves1) == len(leaves2) and all(
-            a.shape == b.shape and bool(jnp.allclose(a, b))
-            for a, b in zip(leaves1, leaves2)
+            leaves_equal(a, b) for a, b in zip(leaves1, leaves2)
         )
 
     return results

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import HFConfig
-from ..optimizer import HFModelFns, hf_step
+from ..optimizer import HFModelFns, hf_step, precond_arg
 from ..utils.flatten import TrainableRavel
 
 
@@ -76,10 +76,8 @@ def make_dp_hf_step(
         batch = jax.tree_util.tree_map(
             lambda x: jax.device_put(x, shard), batch
         )
-        use_precond = precond_diag is not None
-        if precond_diag is None:
-            precond_diag = jnp.zeros((1,), ravel.dtype)
-        else:
+        precond_diag, use_precond = precond_arg(precond_diag, ravel)
+        if use_precond:
             precond_diag = jax.device_put(precond_diag, repl)
         return _step(params, state, batch, precond_diag, use_precond)
 
@@ -165,9 +163,7 @@ def make_dp_hf_step_shardmap(
         return inner(params, state, batch, precond_diag)
 
     def step(params, state, batch, precond_diag=None):
-        use_precond = precond_diag is not None
-        if precond_diag is None:
-            precond_diag = jnp.zeros((1,), ravel.dtype)
+        precond_diag, use_precond = precond_arg(precond_diag, ravel)
         return step_jit(params, state, batch, precond_diag, use_precond)
 
     return step
@@ -228,10 +224,8 @@ def make_dp_hf_acc_step(
         loss_data = jax.tree_util.tree_map(
             lambda x: jax.device_put(x, chunk_s), loss_data
         )
-        use_precond = precond_diag is not None
-        if precond_diag is None:
-            precond_diag = jnp.zeros((1,), ravel.dtype)
-        else:
+        precond_diag, use_precond = precond_arg(precond_diag, ravel)
+        if use_precond:
             precond_diag = jax.device_put(precond_diag, repl)
         return _step(params, state, loss_data, precond_diag, use_precond)
 
@@ -289,6 +283,20 @@ def make_dp_hf_acc_step_shardmap(
     return step_jit
 
 
+@functools.lru_cache(maxsize=64)
+def _dp_diag_jit(fns, reduction, ravel, repl):
+    from ..ops.precond import diag_EF
+
+    @functools.partial(jax.jit, out_shardings=repl)
+    def compute(params, inputs, targets):
+        return diag_EF(
+            fns.model_fn, fns.loss_outer, params, inputs, targets,
+            reduction, ravel, loss_reg=fns.loss_reg,
+        )
+
+    return compute
+
+
 def dp_diag_EF(
     fns: HFModelFns,
     params,
@@ -320,20 +328,16 @@ def dp_diag_EF(
     wrong for the Fisher diagonal.  Sharding the batch axis under jit lets
     XLA keep the per-sample grads device-local and reduce the squares.
     """
-    from ..ops.precond import diag_EF
-
     if reduction not in ("mean", "sum"):
         raise ValueError(f"reduction {reduction} is not supported.")
 
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P(axis_name))
 
-    @functools.partial(jax.jit, out_shardings=repl)
-    def compute(params, inputs, targets):
-        return diag_EF(
-            fns.model_fn, fns.loss_outer, params, inputs, targets,
-            reduction, ravel, loss_reg=fns.loss_reg,
-        )
+    # The jitted program is cached per (fns, reduction, ravel, mesh) --
+    # defining it inline would re-trace (and on remote-compile TPUs,
+    # re-COMPILE) the per-sample-grad program on every call.
+    compute = _dp_diag_jit(fns, reduction, ravel, repl)
 
     params = jax.device_put(params, repl)
     inputs = jax.tree_util.tree_map(

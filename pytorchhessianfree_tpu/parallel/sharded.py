@@ -43,7 +43,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import HFConfig
-from ..optimizer import HFModelFns, HFState, hf_step
+from ..optimizer import HFModelFns, HFState, hf_step, precond_arg
 from ..utils.flatten import TrainableRavel
 
 
@@ -167,9 +167,10 @@ class _Placer:
 
     def place_precond(self, precond_diag):
         """-> (placed_diag_or_placeholder, use_precond)."""
-        if precond_diag is None:
-            return jnp.zeros((1,), self._ravel.dtype), False
-        return jax.device_put(precond_diag, self._vec_s), True
+        precond_diag, use_precond = precond_arg(precond_diag, self._ravel)
+        if use_precond:
+            precond_diag = jax.device_put(precond_diag, self._vec_s)
+        return precond_diag, use_precond
 
 
 def make_sharded_hf_step(

@@ -73,6 +73,10 @@ struct Batcher {
   std::condition_variable cv_produce, cv_consume;
   std::vector<std::thread> threads;
   std::atomic<bool> stop{false};
+  // consumers currently inside hfb_next; hfb_destroy must not free the
+  // Batcher (mutex/condvars included) until this drains to zero
+  int active_consumers = 0;
+  std::condition_variable cv_drained;
 
   std::shared_ptr<const Perm> perm_for_epoch_locked(uint64_t epoch) {
     auto it = perms.find(epoch);
@@ -206,30 +210,44 @@ int64_t hfb_batches_per_epoch(void* handle) {
 int64_t hfb_next(void* handle, void* out_x, void* out_y) {
   auto* b = static_cast<Batcher*>(handle);
   std::unique_lock<std::mutex> lk(b->mu);
+  if (b->stop.load(std::memory_order_relaxed)) return -1;
+  ++b->active_consumers;
   const uint64_t seq = b->next_to_consume;
   Slot& s = b->slots[seq % b->slots.size()];
   b->cv_consume.wait(lk, [&] {
     return (s.state == SlotState::kReady && s.seq == seq) ||
            b->stop.load(std::memory_order_relaxed);
   });
-  if (b->stop.load(std::memory_order_relaxed)) return -1;
-  std::memcpy(out_x, s.x.data(), s.x.size());
-  std::memcpy(out_y, s.y.data(), s.y.size());
-  s.state = SlotState::kFree;
-  b->next_to_consume = seq + 1;
-  lk.unlock();
+  int64_t result;
+  if (b->stop.load(std::memory_order_relaxed)) {
+    result = -1;
+  } else {
+    std::memcpy(out_x, s.x.data(), s.x.size());
+    std::memcpy(out_y, s.y.data(), s.y.size());
+    s.state = SlotState::kFree;
+    b->next_to_consume = seq + 1;
+    result = static_cast<int64_t>(seq);
+  }
+  // Notify while still holding the lock: after unlock, a racing
+  // hfb_destroy may free the Batcher, so no member may be touched.
+  if (--b->active_consumers == 0) b->cv_drained.notify_all();
   b->cv_produce.notify_all();
-  return static_cast<int64_t>(seq);
+  lk.unlock();
+  return result;
 }
 
 void hfb_destroy(void* handle) {
   auto* b = static_cast<Batcher*>(handle);
   {
-    std::lock_guard<std::mutex> lk(b->mu);
+    // Wake everything, then wait for any consumer still inside hfb_next
+    // to leave before freeing the Batcher -- deleting a mutex/condvar a
+    // blocked thread is waiting on is UB (use-after-free at shutdown).
+    std::unique_lock<std::mutex> lk(b->mu);
     b->stop.store(true);
+    b->cv_consume.notify_all();
+    b->cv_produce.notify_all();
+    b->cv_drained.wait(lk, [&] { return b->active_consumers == 0; });
   }
-  b->cv_produce.notify_all();
-  b->cv_consume.notify_all();
   for (auto& t : b->threads) t.join();
   delete b;
 }

@@ -180,3 +180,31 @@ def test_detail_none_by_default_and_scan_compatible():
     _, _, stats = loop(params, init_state(ravel, config_r), (xs, ys))
     assert stats.detail.m_hist.shape == (2, 16)
     assert stats.detail.bt_f.shape[0] == 2
+
+
+def test_ls_trace_shape_parity_without_linesearch():
+    """With compute_final_loss=True and no line search, the fused and
+    standalone paths must expose the SAME (empty) line-search trace --
+    stats shapes may not depend on the fused_trials performance flag."""
+    import dataclasses
+
+    key = jax.random.PRNGKey(0)
+    params = init_mlp(key, dtype=jnp.float64)
+    fns = HFModelFns(model_fn=mlp_apply, loss_outer=mse_loss)
+    kx, ky = jax.random.split(key)
+    batch = (
+        jax.random.normal(kx, (16, 7), jnp.float64),
+        jax.random.normal(ky, (16, 3), jnp.float64),
+    )
+    ravel = TrainableRavel(params)
+
+    shapes = {}
+    for fused in (True, False):
+        config = HFConfig(
+            damping=0.5, cg_max_iter=20, use_linesearch=False,
+            compute_final_loss=True, rich_stats=True, fused_trials=fused,
+        )
+        step = make_hf_step(fns, config, ravel)
+        _, _, st = step(params, init_state(ravel, config), batch)
+        shapes[fused] = (st.detail.ls_alphas.shape, st.detail.ls_f.shape)
+    assert shapes[True] == shapes[False] == ((0,), (0,))

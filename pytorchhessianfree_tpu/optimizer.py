@@ -665,7 +665,12 @@ def make_hf_train_loop(
     ``precond_ema_decay``: maintain an exponential-moving-average
     empirical-Fisher diagonal across the scanned steps (the on-device analog
     of :class:`~pytorchhessianfree_tpu.ops.precond.EMADiag`) and precondition
-    every CG solve with it.  Requires the split model form.
+    every CG solve with it.  Requires the split model form.  In this mode
+    the loop's signature becomes ``loop(params, state, batches,
+    ema_state=None) -> (params, state, stats, ema_state)`` so the EMA
+    carries ACROSS loop invocations (epoch-by-epoch training does not
+    restart it); pass the returned ``ema_state`` back in, or ``None`` to
+    start fresh.
     """
     if precond_ema_decay is not None:
         if not 0.0 <= precond_ema_decay < 1.0:
@@ -679,7 +684,7 @@ def make_hf_train_loop(
     @functools.partial(
         jax.jit, donate_argnums=(0, 1) if donate else ()
     )
-    def loop(params, state, batches):
+    def _loop(params, state, batches, ema0, ema_ready0):
         def body(carry, batch):
             p, s, ema, ema_ready = carry
             if precond_ema_decay is not None:
@@ -688,7 +693,7 @@ def make_hf_train_loop(
                     fns.model_fn, fns.loss_outer, p, inputs, targets,
                     "mean", ravel, loss_reg=fns.loss_reg,
                 )
-                # A loop-local "EMA seeded" flag (NOT step_count == 0): when
+                # An explicit "EMA seeded" flag (NOT step_count == 0): when
                 # the loop resumes from a checkpoint with step_count > 0, the
                 # first real diagonal must still seed the EMA rather than be
                 # blended with the zero init.
@@ -713,11 +718,23 @@ def make_hf_train_loop(
             )
             return (p, s, ema, ema_ready), stats
 
-        ema0 = jnp.zeros((ravel.dim,), ravel.dtype)
-        (params, state, _, _), stats = jax.lax.scan(
-            body, (params, state, ema0, jnp.asarray(False)), batches
+        (params, state, ema, ema_ready), stats = jax.lax.scan(
+            body, (params, state, ema0, ema_ready0), batches
         )
-        return params, state, stats
+        return params, state, stats, (ema, ema_ready)
+
+    def loop(params, state, batches, ema_state=None):
+        if ema_state is None:
+            ema_state = (
+                jnp.zeros((ravel.dim,), ravel.dtype),
+                jnp.asarray(False),
+            )
+        params, state, stats, ema_state = _loop(
+            params, state, batches, *ema_state
+        )
+        if precond_ema_decay is None:
+            return params, state, stats
+        return params, state, stats, ema_state
 
     return loop
 

@@ -344,7 +344,10 @@ def make_sharded_hf_train_loop(
 
     ``precond_ema_decay``: carry an EMA empirical-Fisher diagonal across
     the scanned steps (same semantics as ``make_hf_train_loop``); the EMA
-    vector is itself sharded over the model axis.
+    vector is itself sharded over the model axis.  In this mode the
+    signature becomes ``loop(params, state, batches, ema_state=None) ->
+    (params, state, stats, ema_state)`` so the EMA carries across loop
+    invocations.
     """
     if precond_ema_decay is not None:
         if not 0.0 <= precond_ema_decay < 1.0:
@@ -366,9 +369,9 @@ def make_sharded_hf_train_loop(
         @functools.partial(
             jax.jit,
             donate_argnums=(0, 1) if donate else (),
-            out_shardings=(params_sharding, state_s, repl),
+            out_shardings=(params_sharding, state_s, repl, (vec_s, repl)),
         )
-        def _loop(params, state, batches):
+        def _loop(params, state, batches, ema0, ema_ready0):
             def body(carry, batch):
                 p, s, ema, ema_ready = carry
                 if precond_ema_decay is not None:
@@ -407,22 +410,32 @@ def make_sharded_hf_train_loop(
                 )
                 return (p, s, ema, ema_ready), stats
 
-            ema0 = shard_vec(jnp.zeros((ravel.dim,), ravel.dtype))
-            (params, state, _, _), stats = jax.lax.scan(
-                body, (params, state, ema0, jnp.asarray(False)), batches
+            (params, state, ema, ema_ready), stats = jax.lax.scan(
+                body, (params, state, shard_vec(ema0), ema_ready0), batches
             )
-            return params, state, stats
+            return params, state, stats, (ema, ema_ready)
 
         return _loop
 
     placer = _Placer(mesh, param_specs, ravel, vec_s, repl, _make_jit)
 
-    def loop(params, state, batches):
+    def loop(params, state, batches, ema_state=None):
         fn, params = placer.resolve(params)
         state = placer.place_state(state)
         batches = jax.tree_util.tree_map(
             lambda x: jax.device_put(x, batches_s), batches
         )
-        return fn(params, state, batches)
+        if ema_state is None:
+            ema_state = (
+                jnp.zeros((ravel.dim,), ravel.dtype),
+                jnp.asarray(False),
+            )
+        ema, ema_ready = ema_state
+        params, state, stats, ema_state = fn(
+            params, state, batches, jax.device_put(ema, vec_s), ema_ready
+        )
+        if precond_ema_decay is None:
+            return params, state, stats
+        return params, state, stats, ema_state
 
     return loop

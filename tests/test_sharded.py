@@ -385,9 +385,18 @@ def test_sharded_train_loop_ema_matches_single_device():
     loop_sharded = make_sharded_hf_train_loop(
         fns, config, ravel, mesh, precond_ema_decay=0.9
     )
-    p_s, _, st_s = loop_single(params, init_state(ravel, config), batches)
-    p_m, _, st_m = loop_sharded(params, init_state(ravel, config), batches)
+    p_s, _, st_s, ema_s = loop_single(
+        params, init_state(ravel, config), batches
+    )
+    p_m, _, st_m, ema_m = loop_sharded(
+        params, init_state(ravel, config), batches
+    )
     _assert_params_close(p_s, p_m)
+    # the carried EMA state agrees too (and is model-sharded)
+    np.testing.assert_allclose(
+        np.asarray(ema_s[0]), np.asarray(ema_m[0]), atol=1e-10
+    )
+    assert tuple(ema_m[0].sharding.spec) == ("model",)
     np.testing.assert_array_equal(
         np.asarray(st_s.num_cg_iters), np.asarray(st_m.num_cg_iters)
     )

@@ -64,7 +64,9 @@ def test_train_loop_ema_precond_matches_host_ema():
     ys = jax.random.normal(key, (4, 16, 3), jnp.float64)
 
     loop = make_hf_train_loop(fns, config, ravel, precond_ema_decay=0.9)
-    p_loop, s_loop, stats = loop(params, init_state(ravel, config), (xs, ys))
+    p_loop, s_loop, stats, ema_state = loop(
+        params, init_state(ravel, config), (xs, ys)
+    )
 
     step = make_hf_step(fns, config, ravel)
     ema = EMADiag(decay=0.9)
@@ -113,8 +115,8 @@ def test_train_loop_ema_seed_survives_resume():
 
     s_fresh = init_state(ravel, config)
     s_resumed = s_fresh._replace(step_count=jnp.asarray(7, jnp.int32))
-    p_a, _, stats_a = loop(params, s_fresh, (xs, ys))
-    p_b, _, stats_b = loop(params, s_resumed, (xs, ys))
+    p_a, _, stats_a, _ = loop(params, s_fresh, (xs, ys))
+    p_b, _, stats_b, _ = loop(params, s_resumed, (xs, ys))
 
     # identical trajectories: EMA seeding must not depend on step_count
     np.testing.assert_allclose(
@@ -125,3 +127,43 @@ def test_train_loop_ema_seed_survives_resume():
         jax.tree_util.tree_leaves(p_a), jax.tree_util.tree_leaves(p_b)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+
+
+def test_train_loop_ema_carries_across_invocations():
+    """Two 2-step loop calls with the returned ema_state threaded through
+    must match one 4-step call (epoch-by-epoch training does not restart
+    the EMA)."""
+    key = jax.random.PRNGKey(5)
+    params = init_mlp(key, dtype=jnp.float64)
+    fns = HFModelFns(model_fn=mlp_apply, loss_outer=mse_loss)
+    config = HFConfig(damping=0.5, cg_max_iter=25)
+    ravel = TrainableRavel(params)
+    loop = make_hf_train_loop(fns, config, ravel, precond_ema_decay=0.9)
+
+    xs = jax.random.normal(key, (4, 16, 7), jnp.float64)
+    ys = jax.random.normal(key, (4, 16, 3), jnp.float64)
+
+    p4, s4, st4, _ = loop(params, init_state(ravel, config), (xs, ys))
+
+    p, s = params, init_state(ravel, config)
+    ema_state = None
+    for half in (slice(0, 2), slice(2, 4)):
+        p, s, st, ema_state = loop(p, s, (xs[half], ys[half]), ema_state)
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p4), jax.tree_util.tree_leaves(p)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+    assert int(s.step_count) == int(s4.step_count) == 4
+
+    # WITHOUT threading, the second call restarts the EMA -> different
+    p2, s2 = params, init_state(ravel, config)
+    for half in (slice(0, 2), slice(2, 4)):
+        p2, s2, _, _ = loop(p2, s2, (xs[half], ys[half]))
+    diffs = [
+        float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p4), jax.tree_util.tree_leaves(p2)
+        )
+    ]
+    assert max(diffs) > 1e-12

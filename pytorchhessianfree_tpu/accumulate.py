@@ -63,24 +63,20 @@ def _is_stacked(data: Datalist) -> bool:
     )
 
 
-def _chunks(data: Datalist) -> List[Tuple[jax.Array, jax.Array]]:
-    if _is_stacked(data):
-        xs, ys = data
-        take = lambda t, i: jax.tree_util.tree_map(lambda a: a[i], t)
-        return [(xs[i], take(ys, i)) for i in range(xs.shape[0])]
-    return list(data)
-
-
 def _first_leaf(t):
     return jax.tree_util.tree_leaves(t)[0]
 
 
-def _total_count(data: Datalist) -> int:
+def _chunks(data: Datalist) -> List[Tuple[jax.Array, jax.Array]]:
     if _is_stacked(data):
         xs, ys = data
-        y0 = _first_leaf(ys)
-        return int(y0.shape[0]) * int(y0.shape[1])
-    return sum(int(_first_leaf(y).shape[0]) for _, y in data)
+        # inputs may be a pytree too (e.g. dict-of-arrays features)
+        take = lambda t, i: jax.tree_util.tree_map(lambda a: a[i], t)
+        return [
+            (take(xs, i), take(ys, i))
+            for i in range(_first_leaf(xs).shape[0])
+        ]
+    return list(data)
 
 
 def acc_reduce(
@@ -193,6 +189,11 @@ def make_acc_mvp(
     residual memory for a large per-iteration saving; something the
     reference's autograd design cannot express across batches.
     """
+    if reduction not in ("mean", "sum"):
+        # validate on EVERY path -- the amortized branch returns before
+        # acc_reduce's check would run, and a typo'd reduction silently
+        # meaning "sum" scales the curvature C*N-fold vs the gradient
+        raise ValueError(f"Invalid reduction {reduction}")
     if amortize and config.curvature_opt == "ggn" and _is_stacked(data):
         xs, ys = data
         C = _first_leaf(ys).shape[0]  # targets may be a pytree

@@ -61,9 +61,16 @@ def restore(path: str) -> Tuple[Any, HFState, dict]:
     return tree["params"], state, dict(tree.get("history", {}))
 
 
+def _npz_path(path: str) -> str:
+    # np.savez appends ".npz" when missing; normalize so save/restore agree
+    # on the same path string
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_npz(path: str, params: Any, state: HFState,
              history: Optional[dict] = None):
     """Dependency-free checkpoint: flat npz + JSON-encoded structure."""
+    path = _npz_path(path)
     leaves, treedef = jax.tree_util.tree_flatten(jax.device_get(params))
     arrays = {f"param_{i}": np.asarray(l) for i, l in enumerate(leaves)}
     arrays["state_x0"] = np.asarray(state.x0)
@@ -79,8 +86,10 @@ def save_npz(path: str, params: Any, state: HFState,
 
 def restore_npz(path: str, params_template: Any) -> Tuple[Any, HFState, dict]:
     """Restore an npz checkpoint; ``params_template`` supplies the pytree
-    structure (leaf order must match the saved one)."""
-    data = np.load(path, allow_pickle=False)
+    structure, which must MATCH the saved one (validated -- a
+    wrong-architecture template fails here, not later with a cryptic
+    shape error)."""
+    data = np.load(_npz_path(path), allow_pickle=False)
     meta = json.loads(str(data["__meta__"]))
     leaves, treedef = jax.tree_util.tree_flatten(params_template)
     if meta["num_leaves"] != len(leaves):
@@ -88,9 +97,21 @@ def restore_npz(path: str, params_template: Any) -> Tuple[Any, HFState, dict]:
             f"Checkpoint has {meta['num_leaves']} leaves, template has "
             f"{len(leaves)}."
         )
-    new_leaves = [
-        jnp.asarray(data[f"param_{i}"]) for i in range(len(leaves))
-    ]
+    if meta["treedef"] != str(treedef):
+        raise ValueError(
+            "Checkpoint pytree structure does not match the template:\n"
+            f"  saved:    {meta['treedef']}\n"
+            f"  template: {treedef}"
+        )
+    new_leaves = []
+    for i, leaf in enumerate(leaves):
+        arr = data[f"param_{i}"]
+        if tuple(arr.shape) != tuple(jnp.shape(leaf)):
+            raise ValueError(
+                f"Checkpoint leaf {i} has shape {arr.shape}, template has "
+                f"{jnp.shape(leaf)}."
+            )
+        new_leaves.append(jnp.asarray(arr))
     params = jax.tree_util.tree_unflatten(treedef, new_leaves)
     state = HFState(
         x0=jnp.asarray(data["state_x0"]),

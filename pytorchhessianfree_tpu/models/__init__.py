@@ -4,11 +4,13 @@ from .allcnnc import allcnnc_apply, init_allcnnc, l2_regularizer
 from .mlp import (
     cross_entropy_loss,
     cross_entropy_loss_sum,
+    cross_entropy_per_sample,
     freeze_first_layer,
     init_mlp,
     mlp_apply,
     mse_loss,
     mse_loss_sum,
+    mse_per_sample,
 )
 from .resnet import init_resnet18, resnet18_apply
 from .transformer import init_transformer, transformer_apply
@@ -25,6 +27,8 @@ __all__ = [
     "l2_regularizer",
     "cross_entropy_loss",
     "cross_entropy_loss_sum",
+    "cross_entropy_per_sample",
+    "mse_per_sample",
     "freeze_first_layer",
     "init_mlp",
     "mlp_apply",

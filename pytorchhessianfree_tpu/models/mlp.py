@@ -18,7 +18,9 @@ import jax.numpy as jnp
 
 def _dense_init(key, n_in: int, n_out: int, dtype) -> Dict[str, jax.Array]:
     wk, bk = jax.random.split(key)
-    scale = 1.0 / jnp.sqrt(jnp.asarray(n_in, jnp.float32))
+    # keep `scale` weak-typed in `dtype`: a strong f32 scalar would promote
+    # bf16/f16 params back to f32
+    scale = jnp.asarray(1.0 / jnp.sqrt(float(n_in)), dtype)
     return {
         "w": (jax.random.uniform(wk, (n_in, n_out), dtype) * 2 - 1) * scale,
         "b": (jax.random.uniform(bk, (n_out,), dtype) * 2 - 1) * scale,

@@ -30,7 +30,6 @@ def _per_sample_grad_fn(
     model_fn: Callable[[Any, Any], Any],
     loss_outer: Callable[[Any, Any], jax.Array],
     ravel: TrainableRavel,
-    loss_reg: Optional[Callable[[Any], jax.Array]] = None,
 ):
     """Gradient of the single-sample loss, as a flat vector.
 
@@ -38,20 +37,20 @@ def _per_sample_grad_fn(
     dimension, mirroring the reference's per-sample loop which applies the
     batch loss function to one sample (reference preconditioners.py:95-98);
     with ``N = 1`` the "mean" and "sum" reductions coincide, so the same
-    function serves both.
+    function serves both.  The params-dependent regularizer is handled by
+    the CALLERS (one shared reg gradient broadcast into every row -- the
+    reference ``diag_EF_autograd`` semantics, preconditioners.py:22-24,
+    at a fraction of the cost of differentiating it per sample).
 
-    When ``loss_reg`` is given, each per-sample gradient includes the FULL
-    regularizer gradient -- exactly the reference ``diag_EF_autograd``
-    semantics with an L2-regularized loss closure (the reg term rides every
-    per-sample loss evaluation, reference preconditioners.py:22-24, :95-98).
+    Inputs and targets may be pytrees (e.g. the ``(targets, weights)``
+    layout of :func:`~pytorchhessianfree_tpu.accumulate.weighted_fns`);
+    every leaf gets the singleton batch dimension.
     """
 
     def one_sample_loss(params, x, y):
-        outputs = model_fn(params, x[None])
-        loss = loss_outer(outputs, y[None])
-        if loss_reg is not None:
-            loss = loss + loss_reg(params)
-        return loss
+        add_batch = lambda t: jax.tree_util.tree_map(lambda a: a[None], t)
+        outputs = model_fn(params, add_batch(x))
+        return loss_outer(outputs, add_batch(y))
 
     def one_sample_grad(params, x, y):
         return ravel.ravel(jax.grad(one_sample_loss)(params, x, y))
@@ -89,7 +88,8 @@ def diag_EF(
         grads = grads + ravel.ravel(jax.grad(loss_reg)(params))[None, :]
     diag = jnp.sum(grads**2, axis=0)
     if reduction == "mean":
-        diag = diag / inputs.shape[0]
+        n = jax.tree_util.tree_leaves(inputs)[0].shape[0]
+        diag = diag / n
     return diag
 
 
@@ -127,7 +127,8 @@ def diag_EF_scan(
 
     diag, _ = jax.lax.scan(body, ravel.zeros(), (inputs, targets))
     if reduction == "mean":
-        diag = diag / inputs.shape[0]
+        n = jax.tree_util.tree_leaves(inputs)[0].shape[0]
+        diag = diag / n
     return diag
 
 

@@ -134,3 +134,43 @@ def test_checkpoint_roundtrip_sharded_state(backend, tmp_path):
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(st2.num_cg_iters) == int(st2_r.num_cg_iters)
+
+
+def test_npz_path_normalization(tmp_path):
+    """save_npz('ckpt') / restore_npz('ckpt') agree on the same file (numpy
+    appends .npz on save; restore used to pass the bare path to np.load)."""
+    params, config, ravel, step, batch = _setup()
+    from pytorchhessianfree_tpu import init_state as _init
+
+    state = _init(ravel, config)
+    base = str(tmp_path / "ckpt")  # no extension
+    save_npz(base, params, state)
+    p, s, _ = restore_npz(base, params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(p)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_npz_rejects_wrong_template(tmp_path):
+    """A template with mismatched structure or shapes fails loudly at
+    restore time, not later with a cryptic shape error."""
+    params, config, ravel, step, batch = _setup()
+    from pytorchhessianfree_tpu import init_state as _init
+
+    state = _init(ravel, config)
+    path = str(tmp_path / "c.npz")
+    save_npz(path, params, state)
+
+    # same leaf count, different structure
+    leaves = jax.tree_util.tree_leaves(params)
+    bad_structure = {f"k{i}": l for i, l in enumerate(leaves)}
+    with pytest.raises(ValueError, match="structure"):
+        restore_npz(path, bad_structure)
+
+    # same structure, different shapes
+    bad_shapes = jax.tree_util.tree_map(
+        lambda a: jnp.zeros(a.shape + (1,), a.dtype), params
+    )
+    with pytest.raises(ValueError, match="shape"):
+        restore_npz(path, bad_shapes)

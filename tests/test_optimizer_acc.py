@@ -126,6 +126,7 @@ def test_amortized_acc_mvp_matches_per_chunk(reduction):
     """amortize=True (one linearization across all chunks) must equal the
     per-chunk re-linearized matvec to fp round-off."""
     from pytorchhessianfree_tpu import HFConfig, HFModelFns, TrainableRavel
+    from pytorchhessianfree_tpu import HFConfig, HFModelFns, TrainableRavel
     from pytorchhessianfree_tpu.accumulate import make_acc_mvp
 
     key = jax.random.PRNGKey(0)
@@ -306,4 +307,45 @@ def test_stacked_data_wrapper_and_amortized_pytree_targets():
     )(v)
     np.testing.assert_allclose(
         np.asarray(mv_plain), np.asarray(mv_amort), atol=1e-10
+    )
+
+
+def test_acc_mvp_invalid_reduction_raises_on_amortized_path():
+    """The amortized branch used to return before validation, silently
+    treating a typo'd reduction as 'sum'."""
+    import pytest
+
+    from pytorchhessianfree_tpu import HFConfig, HFModelFns, TrainableRavel
+    from pytorchhessianfree_tpu.accumulate import make_acc_mvp
+
+    key = jax.random.PRNGKey(0)
+    params = init_mlp(key, dtype=jnp.float64)
+    fns = HFModelFns(model_fn=mlp_apply, loss_outer=mse_loss)
+    config = HFConfig(damping=0.5)
+    ravel = TrainableRavel(params)
+    xs = jax.random.normal(key, (2, 8, 7), jnp.float64)
+    ys = jax.random.normal(key, (2, 8, 3), jnp.float64)
+
+    with pytest.raises(ValueError, match="reduction"):
+        make_acc_mvp(
+            fns, config, params, (xs, ys), "meen", ravel, amortize=True
+        )
+
+
+def test_chunks_pytree_inputs():
+    """Stacked datalists with pytree INPUTS (dict-of-arrays features) work
+    through _chunks / concat_datalist (xs used to be indexed directly)."""
+    from pytorchhessianfree_tpu.accumulate import (
+        StackedData,
+        concat_datalist,
+    )
+
+    xs = {"a": jnp.arange(12.0).reshape(2, 3, 2), "b": jnp.ones((2, 3))}
+    ys = jnp.arange(6.0).reshape(2, 3)
+    cat_x, cat_y = concat_datalist(StackedData(xs, ys))
+    assert cat_x["a"].shape == (6, 2)
+    assert cat_x["b"].shape == (6,)
+    assert cat_y.shape == (6,)
+    np.testing.assert_array_equal(
+        np.asarray(cat_x["a"]), np.asarray(xs["a"].reshape(6, 2))
     )

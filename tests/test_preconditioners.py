@@ -189,3 +189,41 @@ def test_diag_EF_invalid_reduction():
     ravel = TrainableRavel(params)
     with pytest.raises(ValueError):
         diag_EF(mlp_apply, mse_loss, params, x, y, "median", ravel)
+
+
+def test_diag_ef_pytree_targets():
+    """diag_EF / diag_EF_scan work with pytree targets -- the (targets,
+    weights) layout of weighted_fns (used to crash on y[None])."""
+    from pytorchhessianfree_tpu.accumulate import weighted_fns
+    from pytorchhessianfree_tpu.models.mlp import (
+        init_mlp,
+        mlp_apply,
+        mse_per_sample,
+    )
+    from pytorchhessianfree_tpu.ops.precond import diag_EF, diag_EF_scan
+
+    key = jax.random.PRNGKey(0)
+    params = init_mlp(key, dtype=jnp.float64)
+    kx, ky = jax.random.split(key)
+    x = jax.random.normal(kx, (8, 7), jnp.float64)
+    y = jax.random.normal(ky, (8, 3), jnp.float64)
+    w = jnp.ones((8,), jnp.float64)
+
+    ravel = TrainableRavel(params)
+    fns = weighted_fns(mlp_apply, mse_per_sample, total=8, reduction="mean")
+
+    got = diag_EF(
+        fns.model_fn, fns.loss_outer, params, x, (y, w), "mean", ravel
+    )
+    got_scan = diag_EF_scan(
+        fns.model_fn, fns.loss_outer, params, x, (y, w), "mean", ravel
+    )
+    # all-ones weights with total=N: per-sample loss is mse_per_sample/N,
+    # so the diag equals the plain mse diag scaled by 1/N^2
+    from pytorchhessianfree_tpu.models.mlp import mse_loss
+
+    want = diag_EF(mlp_apply, mse_loss, params, x, y, "mean", ravel) / 64.0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(got_scan), np.asarray(want), rtol=1e-10
+    )

@@ -681,13 +681,15 @@ def make_hf_train_loop(
                 "(per-sample gradients need model_fn + loss_outer)."
             )
 
+    use_ema = precond_ema_decay is not None
+
     @functools.partial(
         jax.jit, donate_argnums=(0, 1) if donate else ()
     )
-    def _loop(params, state, batches, ema0, ema_ready0):
+    def _loop(params, state, batches, ema_state):
         def body(carry, batch):
-            p, s, ema, ema_ready = carry
-            if precond_ema_decay is not None:
+            if use_ema:
+                p, s, ema, ema_ready = carry
                 inputs, targets = batch
                 d = diag_EF(
                     fns.model_fn, fns.loss_outer, p, inputs, targets,
@@ -705,6 +707,7 @@ def make_hf_train_loop(
                 ema_ready = jnp.asarray(True)
                 precond_diag = ema
             else:
+                p, s = carry
                 precond_diag = None
             p, s, stats = hf_step(
                 p,
@@ -716,23 +719,31 @@ def make_hf_train_loop(
                 precond_diag=precond_diag,
                 precond_exponent=precond_exponent,
             )
-            return (p, s, ema, ema_ready), stats
+            carry = (p, s, ema, ema_ready) if use_ema else (p, s)
+            return carry, stats
 
-        (params, state, ema, ema_ready), stats = jax.lax.scan(
-            body, (params, state, ema0, ema_ready0), batches
-        )
-        return params, state, stats, (ema, ema_ready)
+        init = (params, state, *ema_state) if use_ema else (params, state)
+        carry, stats = jax.lax.scan(body, init, batches)
+        if use_ema:
+            params, state, ema, ema_ready = carry
+            return params, state, stats, (ema, ema_ready)
+        params, state = carry
+        return params, state, stats, ()
 
     def loop(params, state, batches, ema_state=None):
         if ema_state is None:
             ema_state = (
-                jnp.zeros((ravel.dim,), ravel.dtype),
-                jnp.asarray(False),
+                (
+                    jnp.zeros((ravel.dim,), ravel.dtype),
+                    jnp.asarray(False),
+                )
+                if use_ema
+                else ()
             )
         params, state, stats, ema_state = _loop(
-            params, state, batches, *ema_state
+            params, state, batches, ema_state
         )
-        if precond_ema_decay is None:
+        if not use_ema:
             return params, state, stats
         return params, state, stats, ema_state
 

@@ -365,18 +365,25 @@ def make_sharded_hf_train_loop(
         NamedSharding(mesh, P(None, data_axis)) if use_data else repl
     )
 
+    use_ema = precond_ema_decay is not None
+
     def _make_jit(params_sharding):
+        # The EMA state exists in the compiled program ONLY when enabled --
+        # a dead carried vector would change XLA's fusion and hence the f32
+        # trajectory of the plain loop.
+        ema_out_s = ((vec_s, repl),) if use_ema else ((),)
+
         @functools.partial(
             jax.jit,
             donate_argnums=(0, 1) if donate else (),
-            out_shardings=(params_sharding, state_s, repl, (vec_s, repl)),
+            out_shardings=(params_sharding, state_s, repl) + ema_out_s,
         )
-        def _loop(params, state, batches, ema0, ema_ready0):
+        def _loop(params, state, batches, ema_state):
             def body(carry, batch):
-                p, s, ema, ema_ready = carry
-                if precond_ema_decay is not None:
+                if use_ema:
                     from ..ops.precond import diag_EF
 
+                    p, s, ema, ema_ready = carry
                     inputs, targets = batch
                     d = shard_vec(
                         diag_EF(
@@ -395,6 +402,7 @@ def make_sharded_hf_train_loop(
                     ema_ready = jnp.asarray(True)
                     precond_diag = ema
                 else:
+                    p, s = carry
                     precond_diag = None
                 p, s, stats = hf_step(
                     p,
@@ -408,12 +416,20 @@ def make_sharded_hf_train_loop(
                     shard_vec=shard_vec,
                     shard_buf=shard_buf,
                 )
-                return (p, s, ema, ema_ready), stats
+                carry = (p, s, ema, ema_ready) if use_ema else (p, s)
+                return carry, stats
 
-            (params, state, ema, ema_ready), stats = jax.lax.scan(
-                body, (params, state, shard_vec(ema0), ema_ready0), batches
-            )
-            return params, state, stats, (ema, ema_ready)
+            if use_ema:
+                ema0, ema_ready0 = ema_state
+                init = (params, state, shard_vec(ema0), ema_ready0)
+            else:
+                init = (params, state)
+            carry, stats = jax.lax.scan(body, init, batches)
+            if use_ema:
+                params, state, ema, ema_ready = carry
+                return params, state, stats, (ema, ema_ready)
+            params, state = carry
+            return params, state, stats, ()
 
         return _loop
 
@@ -425,16 +441,20 @@ def make_sharded_hf_train_loop(
         batches = jax.tree_util.tree_map(
             lambda x: jax.device_put(x, batches_s), batches
         )
-        if ema_state is None:
-            ema_state = (
-                jnp.zeros((ravel.dim,), ravel.dtype),
-                jnp.asarray(False),
-            )
-        ema, ema_ready = ema_state
+        if use_ema:
+            if ema_state is None:
+                ema_state = (
+                    jnp.zeros((ravel.dim,), ravel.dtype),
+                    jnp.asarray(False),
+                )
+            ema, ema_ready = ema_state
+            ema_state = (jax.device_put(ema, vec_s), ema_ready)
+        else:
+            ema_state = ()
         params, state, stats, ema_state = fn(
-            params, state, batches, jax.device_put(ema, vec_s), ema_ready
+            params, state, batches, ema_state
         )
-        if precond_ema_decay is None:
+        if not use_ema:
             return params, state, stats
         return params, state, stats, ema_state
 

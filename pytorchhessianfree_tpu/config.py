@@ -95,6 +95,10 @@ class LineSearchConfig:
             raise ValueError(f"Invalid c = {self.c}")
         if self.mode not in ("sequential", "batched"):
             raise ValueError(f"Unknown line-search mode {self.mode}")
+        # the three implementations (sequential / batched / fused) only
+        # agree for a positive trial budget
+        if self.max_iter < 1:
+            raise ValueError(f"Invalid line-search max_iter {self.max_iter}")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -253,6 +253,8 @@ def simple_linesearch(
         raise ValueError(f"Invalid reduction factor beta = {beta}")
     if c < 0.0:
         raise ValueError(f"Invalid c = {c}")
+    if max_iter < 1:
+        raise ValueError(f"Invalid line-search max_iter {max_iter}")
 
     dtype = step.dtype
     c_dir = c * jnp.vdot(f_grad_0, step)
@@ -382,6 +384,8 @@ def fused_trials(
         raise ValueError(f"Invalid reduction factor beta = {beta}")
     if c < 0.0:
         raise ValueError(f"Invalid c = {c}")
+    if use_linesearch and ls_max_iter < 1:
+        raise ValueError(f"Invalid line-search max_iter {ls_max_iter}")
 
     G, iters_arr = _candidates(cgres)
     dtype = cgres.x.dtype

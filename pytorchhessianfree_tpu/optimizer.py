@@ -316,6 +316,16 @@ def _step_core(
             f_0 = loss_at(state.x0)  # loss at x_iters[0] = the warm start
             if f_at_final is None:
                 f_at_final = loss_at(cgres.x)
+                if config.rich_stats:
+                    # record the evaluation at the final iterate (slot G),
+                    # matching what the fused evaluator records for the
+                    # same configuration
+                    G1 = len(cgres.stored_iters) + 1
+                    bt_f_detail = (
+                        jnp.full((G1,), jnp.nan, grad_vec.dtype)
+                        .at[-1]
+                        .set(f_at_final)
+                    )
         else:
             f_0 = None
 
@@ -693,7 +703,7 @@ def make_hf_train_loop(
                 inputs, targets = batch
                 d = diag_EF(
                     fns.model_fn, fns.loss_outer, p, inputs, targets,
-                    "mean", ravel, loss_reg=fns.loss_reg,
+                    config.precond_reduction, ravel, loss_reg=fns.loss_reg,
                 )
                 # An explicit "EMA seeded" flag (NOT step_count == 0): when
                 # the loop resumes from a checkpoint with step_count > 0, the
@@ -782,6 +792,13 @@ def hf_acc_step(
     """
     from . import accumulate as acc
 
+    if config.precond == "diag_ef":
+        raise ValueError(
+            "precond='diag_ef' (in-step diagonal from the step's own batch) "
+            "is a single-batch feature; for accumulated steps compute the "
+            "diagonal explicitly (diag_EF / dp_diag_EF / EMADiag) and pass "
+            "precond_diag."
+        )
     if grad_data is None:
         grad_data = loss_data
     if mvp_data is None:
@@ -957,7 +974,16 @@ def check_deterministic(
         inputs, _ = batch
         out1 = fns.model_fn(params, inputs)
         out2 = fns.model_fn(params, inputs)
-        results["outputs_deterministic"] = bool(jnp.allclose(out1, out2))
+        # outputs may be a pytree (e.g. dict with aux values)
+        results["outputs_deterministic"] = bool(
+            all(
+                jnp.allclose(a, b)
+                for a, b in zip(
+                    jax.tree_util.tree_leaves(out1),
+                    jax.tree_util.tree_leaves(out2),
+                )
+            )
+        )
 
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -1160,6 +1186,7 @@ class HessianFree:
                 precond_exponent=config.precond_exponent, donate=True,
             )
         self._acc_steps = {}  # jitted acc steps, keyed by reduction
+        self.last_stats: Optional[HFStats] = None
         self.history = {
             "init_losses": [],
             "final_losses": [],
@@ -1421,7 +1448,9 @@ class HessianFree:
         reference examples/run_small_nn.py:46-52)."""
         return {
             "state": jax.device_get(self.state)._asdict(),
-            "history": dict(self.history),
+            # deep-copy the lists: the snapshot must not grow as training
+            # continues (and loading must not alias the snapshot's lists)
+            "history": {k: list(v) for k, v in self.history.items()},
             "step_count": int(self.state.step_count),
         }
 
@@ -1432,7 +1461,9 @@ class HessianFree:
             damping=jnp.asarray(s["damping"]),
             step_count=jnp.asarray(s["step_count"], jnp.int32),
         )
-        self.history.update(sd.get("history", {}))
+        self.history.update(
+            {k: list(v) for k, v in sd.get("history", {}).items()}
+        )
 
     def save(self, path: str, backend: str = "orbax") -> None:
         """Checkpoint params + optimizer state + history (see checkpoint.py)."""

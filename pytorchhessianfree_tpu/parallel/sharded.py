@@ -388,7 +388,8 @@ def make_sharded_hf_train_loop(
                     d = shard_vec(
                         diag_EF(
                             fns.model_fn, fns.loss_outer, p, inputs,
-                            targets, "mean", ravel, loss_reg=fns.loss_reg,
+                            targets, config.precond_reduction, ravel,
+                            loss_reg=fns.loss_reg,
                         )
                     )
                     ema = shard_vec(

@@ -208,3 +208,19 @@ def test_ls_trace_shape_parity_without_linesearch():
         _, _, st = step(params, init_state(ravel, config), batch)
         shapes[fused] = (st.detail.ls_alphas.shape, st.detail.ls_f.shape)
     assert shapes[True] == shapes[False] == ((0,), (0,))
+
+    # ... and with backtracking ALSO off, the bt_f record agrees too (the
+    # LM heuristic's f(final) lands in the final-candidate slot either way)
+    bt = {}
+    for fused in (True, False):
+        config = HFConfig(
+            damping=0.5, cg_max_iter=20, use_linesearch=False,
+            use_cg_backtracking=False, compute_final_loss=False,
+            rich_stats=True, fused_trials=fused,
+        )
+        step = make_hf_step(fns, config, ravel)
+        _, _, st = step(params, init_state(ravel, config), batch)
+        bt[fused] = np.asarray(st.detail.bt_f)
+    assert bt[True].shape == bt[False].shape
+    np.testing.assert_allclose(bt[True], bt[False], rtol=1e-12)
+    assert np.isfinite(bt[True][-1])  # f(final iterate) recorded

@@ -86,37 +86,110 @@ def measure_jax_matvecs_per_sec() -> float:
     return NUM_MATVECS / times[len(times) // 2]
 
 
-def torch_baseline_matvecs_per_sec() -> float:
+def measure_jax_hf_step_seconds(cg_max_iter: int = 50):
+    """Median wall-clock of the FULL jitted HF step (gradient -> damped PCG
+    with Martens criterion -> LM damping -> CG backtracking -> Armijo line
+    search -> update) on the same ResNet-18/MNIST b32 problem, state advanced
+    across steps like a real training loop.
+
+    Returns ``(median_seconds, [cg iters per timed step])``.
+    """
+    from pytorchhessianfree_tpu import (
+        HFConfig,
+        HFModelFns,
+        TrainableRavel,
+        init_state,
+        make_hf_step,
+    )
+    from pytorchhessianfree_tpu.models import (
+        cross_entropy_loss,
+        init_resnet18,
+        resnet18_apply,
+    )
+
+    key = jax.random.PRNGKey(0)
+    params = init_resnet18(key, num_classes=10, in_channels=1)
+    ravel = TrainableRavel(params, pad_to_multiple=1024)
+    fns = HFModelFns(model_fn=resnet18_apply,
+                     loss_outer=cross_entropy_loss)
+    config = HFConfig(damping=1.0, cg_max_iter=cg_max_iter)
+    step = make_hf_step(fns, config, ravel)
+
+    kx, ky = jax.random.split(key)
+    x = jax.random.normal(kx, (BATCH_SIZE, 28, 28, 1), jnp.float32)
+    y = jax.random.randint(ky, (BATCH_SIZE,), 0, 10)
+    batch = (x, y)
+
+    state = init_state(ravel, config)
+    params, state, stats = step(params, state, batch)  # compile + warmup step
+    _ = float(stats.final_loss)
+
+    times, iters = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        params, state, stats = step(params, state, batch)
+        _ = float(stats.final_loss)  # force completion via host transfer
+        times.append(time.perf_counter() - t0)
+        iters.append(int(stats.num_cg_iters))
+    times.sort()
+    return times[len(times) // 2], iters
+
+
+def torch_baselines() -> dict:
+    """Measure-once-and-cache torch-CPU baselines: GGN matvecs/sec AND the
+    full reference-semantics HF step wall-clock (same model/batch/config)."""
+    cached = {}
     if os.path.exists(CACHE):
         with open(CACHE) as f:
             cached = json.load(f)
-        if "torch_cpu_ggn_matvecs_per_sec" in cached:
-            return float(cached["torch_cpu_ggn_matvecs_per_sec"])
-    from benchmarks.torch_baseline import measure_ggn_matvecs_per_sec
+    dirty = False
+    if "torch_cpu_ggn_matvecs_per_sec" not in cached:
+        from benchmarks.torch_baseline import measure_ggn_matvecs_per_sec
 
-    rate = measure_ggn_matvecs_per_sec(batch_size=BATCH_SIZE, num_matvecs=3)
-    with open(CACHE, "w") as f:
-        json.dump(
-            {
-                "torch_cpu_ggn_matvecs_per_sec": rate,
-                "config": f"resnet18-mnist b{BATCH_SIZE} torch.func linearize",
-            },
-            f,
-            indent=1,
+        cached["torch_cpu_ggn_matvecs_per_sec"] = (
+            measure_ggn_matvecs_per_sec(batch_size=BATCH_SIZE, num_matvecs=3)
         )
-    return rate
+        cached["config"] = (
+            f"resnet18-mnist b{BATCH_SIZE} torch.func linearize"
+        )
+        dirty = True
+    if "torch_cpu_hf_step_seconds" not in cached:
+        from benchmarks.torch_baseline import (
+            measure_reference_hf_step_seconds,
+        )
+
+        sec, its = measure_reference_hf_step_seconds(
+            batch_size=BATCH_SIZE, cg_max_iter=50, num_steps=3
+        )
+        cached["torch_cpu_hf_step_seconds"] = sec
+        cached["torch_cpu_hf_step_cg_iters"] = its
+        dirty = True
+    if dirty:
+        with open(CACHE, "w") as f:
+            json.dump(cached, f, indent=1)
+    return cached
 
 
 if __name__ == "__main__":
     rate = measure_jax_matvecs_per_sec()
-    baseline = torch_baseline_matvecs_per_sec()
+    step_sec, step_iters = measure_jax_hf_step_seconds()
+    baselines = torch_baselines()
+    mv_base = float(baselines["torch_cpu_ggn_matvecs_per_sec"])
+    step_base = float(baselines["torch_cpu_hf_step_seconds"])
     print(
         json.dumps(
             {
                 "metric": "ggn_matvecs_per_sec_resnet18_mnist_b32",
                 "value": round(rate, 2),
                 "unit": "matvec/s",
-                "vs_baseline": round(rate / baseline, 2),
+                "vs_baseline": round(rate / mv_base, 2),
+                "hf_step_ms": round(step_sec * 1e3, 2),
+                "hf_step_cg_iters": step_iters,
+                "hf_step_vs_torch_cpu": round(step_base / step_sec, 2),
+                "torch_cpu_hf_step_ms": round(step_base * 1e3, 1),
+                "torch_cpu_hf_step_cg_iters": baselines.get(
+                    "torch_cpu_hf_step_cg_iters"
+                ),
             }
         )
     )

@@ -1185,7 +1185,15 @@ class HessianFree:
                 self.fns, config, self.ravel,
                 precond_exponent=config.precond_exponent, donate=True,
             )
-        self._acc_steps = {}  # jitted acc steps, keyed by reduction
+        # Jitted step variants (acc steps keyed by (reduction, mvp_amortize),
+        # custom-M steps keyed by closure identity), bounded LRU: cycling
+        # through many distinct M closures or reductions in a long-lived
+        # process evicts the oldest compiled program instead of leaking
+        # executables (each entry pins its closure, incl. M, alive).
+        import collections
+
+        self._acc_steps: "collections.OrderedDict" = collections.OrderedDict()
+        self._acc_steps_maxsize = 16
         self.last_stats: Optional[HFStats] = None
         self.history = {
             "init_losses": [],
@@ -1198,6 +1206,24 @@ class HessianFree:
         }
 
     # -- stepping ----------------------------------------------------------
+    def _cached_step(self, key, build):
+        """LRU lookup-or-build for jitted step variants (bounded)."""
+        step = self._acc_steps.get(key)
+        if step is None:
+            step = build()
+            self._acc_steps[key] = step
+            while len(self._acc_steps) > self._acc_steps_maxsize:
+                self._acc_steps.popitem(last=False)
+        else:
+            self._acc_steps.move_to_end(key)
+        return step
+
+    def clear_caches(self) -> None:
+        """Drop all cached jitted step variants (acc steps and custom-M
+        steps).  The primary step program is kept; variants recompile on
+        next use."""
+        self._acc_steps.clear()
+
     def _record(self, stats: HFStats) -> float:
         stats = jax.device_get(stats)
         h = self.history
@@ -1277,8 +1303,7 @@ class HessianFree:
                     "Custom M closures are not supported with mesh=; use "
                     "the functional hf_step with shard hooks instead."
                 )
-            key = ("M", id(M))
-            if key not in self._acc_steps:
+            def _build_m_step():
                 fns, config, ravel = self.fns, self.config, self.ravel
 
                 @jax.jit
@@ -1288,8 +1313,10 @@ class HessianFree:
                         ravel=ravel, M=M,
                     )
 
-                self._acc_steps[key] = _m_step
-            self.params, self.state, stats = self._acc_steps[key](
+                return _m_step
+
+            m_step = self._cached_step(("M", id(M)), _build_m_step)
+            self.params, self.state, stats = m_step(
                 self.params, self.state, batch
             )
             return self._record(stats)
@@ -1333,11 +1360,11 @@ class HessianFree:
                     "use hf_acc_step / parallel.* builders for independent "
                     "grad/mvp datalists."
                 )
-            if cache_key not in self._acc_steps:
+            def _build_mesh_acc():
                 if self._model_axis in self.mesh.axis_names:
                     from .parallel.sharded import make_sharded_hf_acc_step
 
-                    self._acc_steps[cache_key] = make_sharded_hf_acc_step(
+                    return make_sharded_hf_acc_step(
                         self.fns, self.config, self.ravel, self.mesh,
                         data_axis=self._data_axis,
                         model_axis=self._model_axis,
@@ -1346,28 +1373,31 @@ class HessianFree:
                         precond_exponent=self.config.precond_exponent,
                         mvp_amortize=mvp_amortize,
                     )
-                else:
-                    from .parallel.data_parallel import make_dp_hf_acc_step
+                from .parallel.data_parallel import make_dp_hf_acc_step
 
-                    self._acc_steps[cache_key] = make_dp_hf_acc_step(
-                        self.fns, self.config, self.ravel, self.mesh,
-                        axis_name=self._data_axis,
-                        reduction=reduction,
-                        precond_exponent=self.config.precond_exponent,
-                        mvp_amortize=mvp_amortize,
-                    )
-            self.params, self.state, stats = self._acc_steps[cache_key](
+                return make_dp_hf_acc_step(
+                    self.fns, self.config, self.ravel, self.mesh,
+                    axis_name=self._data_axis,
+                    reduction=reduction,
+                    precond_exponent=self.config.precond_exponent,
+                    mvp_amortize=mvp_amortize,
+                )
+
+            acc = self._cached_step(cache_key, _build_mesh_acc)
+            self.params, self.state, stats = acc(
                 self.params, self.state, loss_data,
                 precond_diag=precond_diag,
             )
             return self._record(stats)
-        if cache_key not in self._acc_steps:
-            self._acc_steps[cache_key] = make_hf_acc_step(
+        acc = self._cached_step(
+            cache_key,
+            lambda: make_hf_acc_step(
                 self.fns, self.config, self.ravel, reduction,
                 precond_exponent=self.config.precond_exponent,
                 mvp_amortize=mvp_amortize,
-            )
-        self.params, self.state, stats = self._acc_steps[cache_key](
+            ),
+        )
+        self.params, self.state, stats = acc(
             self.params,
             self.state,
             loss_data,

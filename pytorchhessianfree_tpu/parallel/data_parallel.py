@@ -283,8 +283,18 @@ def make_dp_hf_acc_step_shardmap(
     return step_jit
 
 
-@functools.lru_cache(maxsize=64)
 def _dp_diag_jit(fns, reduction, ravel, repl):
+    # Cache compiled programs ON the ravel instance (not a module-level
+    # lru_cache): entries die with their owner instead of pinning the
+    # closure's params-scale objects for process lifetime, and HFModelFns
+    # (a NamedTuple) keys by content so logically-equal instances hit.
+    cache = getattr(ravel, "_dp_diag_cache", None)
+    if cache is None:
+        cache = ravel._dp_diag_cache = {}
+    key = (fns, reduction, repl)
+    compute = cache.get(key)
+    if compute is not None:
+        return compute
     from ..ops.precond import diag_EF
 
     @functools.partial(jax.jit, out_shardings=repl)
@@ -294,6 +304,7 @@ def _dp_diag_jit(fns, reduction, ravel, repl):
             reduction, ravel, loss_reg=fns.loss_reg,
         )
 
+    cache[key] = compute
     return compute
 
 

@@ -42,12 +42,19 @@ def initialize_distributed(
     best-effort and stays single-process when no coordinator is detected.
     """
     try:
-        from jax._src import distributed as _dist
-
-        if _dist.global_state.client is not None:
+        # Public signal first (jax >= 0.4.34); it does not initialize a
+        # backend.  Keep the private-state probe as a fallback for older
+        # versions where the public predicate does not exist.
+        if jax.distributed.is_initialized():
             return  # already wired
-    except Exception:
-        pass  # private-API drift: fall through to initialize
+    except AttributeError:
+        try:
+            from jax._src import distributed as _dist
+
+            if _dist.global_state.client is not None:
+                return  # already wired
+        except Exception:
+            pass  # private-API drift: fall through to initialize
     kwargs = {}
     if coordinator_address is not None:
         kwargs["coordinator_address"] = coordinator_address

@@ -100,8 +100,13 @@ class DevicePrefetcher:
     def __next__(self):
         # Already-transferred batches are delivered BEFORE any source error
         # is surfaced (the error arrives in stream order, at the point the
-        # source actually failed); once exhausted, StopIteration repeats.
+        # source actually failed).  A source error is sticky: EVERY
+        # subsequent __next__ re-raises it (and it stays readable via
+        # :attr:`error`), so a failed stream can never be mistaken for a
+        # cleanly exhausted one.
         if self._done:
+            if self._err is not None:
+                raise self._err
             raise StopIteration
         while True:
             try:
@@ -114,10 +119,17 @@ class DevicePrefetcher:
             if item is self._SENTINEL:
                 self._done = True
                 if self._err is not None:
-                    err, self._err = self._err, None
-                    raise err
+                    raise self._err
                 raise StopIteration
             return item
+
+    @property
+    def error(self) -> Optional[BaseException]:
+        """The source exception, if the background stream failed (also
+        re-raised by every ``__next__`` after it surfaces).  Check after
+        :meth:`close` to distinguish a failed stream from an exhausted one
+        when the consumer stopped early."""
+        return self._err
 
     def close(self):
         """Stop the background thread and release queued buffers."""

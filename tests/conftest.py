@@ -25,3 +25,39 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+# ---------------------------------------------------------------------------
+# smoke subset: a <2-minute representative slice of the ~16-minute suite
+# (one entry per layer: flatten/select/cg/curvature/optimizer/acc/flags/
+# loader).  `python -m pytest -m smoke` is the fast contributor loop;
+# CI and pre_commit_checks still run everything.
+# ---------------------------------------------------------------------------
+
+_SMOKE = (
+    "test_flatten.py",              # whole file: ravel/unravel + padded space
+    "test_select.py",               # whole file: backtracking + line search
+    "test_cg.py::test_cg_residuals",
+    "test_curvature.py::test_ggnvp_matches_dense_ggn",
+    "test_optimizer.py::test_on_quadratic_one_newton_step",
+    "test_optimizer.py::test_step_with_tiny_cg_budget",
+    "test_optimizer_acc.py::test_acc_reduce_weighting",
+    "test_stats_flags.py::test_nonpos_curvature_flag_through_step",
+    "test_runtime_loader.py::test_device_prefetcher_error_propagates",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        fname = item.path.name if hasattr(item, "path") else ""
+        for pat in _SMOKE:
+            if "::" in pat:
+                f, name = pat.split("::")
+                if fname == f and item.originalname == name:
+                    item.add_marker(pytest.mark.smoke)
+                    break
+            elif fname == pat:
+                item.add_marker(pytest.mark.smoke)
+                break

@@ -125,9 +125,10 @@ def test_acc_step_with_reg_matches_step(curvature_opt, reduction):
         # chunked accumulation reorders the fp reductions; CG amplifies the
         # last-bit difference over its iterations (more for the ~16x-scaled
         # "sum" losses), while every discrete decision stays in lockstep.
-        # The reference pins this same equivalence at atol 1e-4
-        # (reference tests/test_optimizer_acc.py:124-175); same bound here.
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+        # The reference pins this equivalence at atol 1e-4 for f32 torch
+        # (reference tests/test_optimizer_acc.py:124-175); this suite runs
+        # f64, so hold a 10x tighter bound to keep regression headroom.
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
     assert int(st_a.num_cg_iters) == int(st_b.num_cg_iters)
     assert int(st_a.best_cg_iter) == int(st_b.best_cg_iter)
     np.testing.assert_allclose(float(st_a.lr), float(st_b.lr), rtol=1e-12)

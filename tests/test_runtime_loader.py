@@ -197,7 +197,14 @@ def test_device_prefetcher_error_propagates():
     with pytest.raises(RuntimeError, match="boom"):
         for _ in pf:
             pass
+    # the source error is sticky: re-raised on every subsequent __next__
+    # and readable via .error, so a failed stream can never be mistaken
+    # for a cleanly exhausted one (even by a consumer that closed early).
+    with pytest.raises(RuntimeError, match="boom"):
+        next(pf)
+    assert isinstance(pf.error, RuntimeError)
     pf.close()
+    assert isinstance(pf.error, RuntimeError)
 
 
 def test_many_threads_epoch_coverage():

@@ -56,6 +56,48 @@ def synthetic_cifar100_batch(key, batch_size=32, dtype=jnp.float32):
     return x, y
 
 
+def parse_data_dir():
+    """``--data <dir>`` on any example switches from synthetic batches to a
+    real dataset streamed through the native loader.
+
+    Expected file format (documented in README "Real datasets"):
+    ``<dir>/train_x.npy`` -- float32 ``[N, H, W, C]`` (NHWC) preprocessed
+    images (MNIST: ``[N, 28, 28, 1]`` scaled to [0, 1] like torchvision
+    ``ToTensor``; CIFAR-100: ``[N, 32, 32, 3]`` per-channel standardized
+    like DeepOBS) and ``<dir>/train_y.npy`` -- integer ``[N]`` class labels.
+    """
+    if "--data" in sys.argv:
+        d = sys.argv[sys.argv.index("--data") + 1]
+        for f in ("train_x.npy", "train_y.npy"):
+            if not os.path.exists(os.path.join(d, f)):
+                raise FileNotFoundError(
+                    f"--data {d}: missing {f} (expected train_x.npy "
+                    "[N,H,W,C] float32 + train_y.npy [N] int labels)"
+                )
+        return d
+    return None
+
+
+def real_batch_stream(data_dir, batch_size, sharding=None, seed=0):
+    """Real-dataset pipeline: mmap-backed ``.npy`` -> C++ PrefetchLoader
+    (threaded shuffled gathers) -> DevicePrefetcher (host->device transfer,
+    optionally pre-sharded, overlapped with device compute).
+
+    Returns the DevicePrefetcher (an iterator of on-device ``(x, y)``
+    batches; also a context manager -- close it when done).
+    """
+    from pytorchhessianfree_tpu.runtime.loader import PrefetchLoader
+    from pytorchhessianfree_tpu.runtime.prefetch import DevicePrefetcher
+
+    loader = PrefetchLoader.from_npy(
+        os.path.join(data_dir, "train_x.npy"),
+        os.path.join(data_dir, "train_y.npy"),
+        batch_size,
+        seed=seed,
+    )
+    return DevicePrefetcher(loader, sharding=sharding)
+
+
 def report(step_idx, opt):
     h = opt.history
     print(

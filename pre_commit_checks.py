@@ -17,8 +17,15 @@ STEPS = [
     [sys.executable, "examples/run_small_nn.py", "--cpu"],
     [sys.executable, "examples/run_small_nn_acc.py", "--cpu"],
     [sys.executable, "examples/run_sharded.py", "--cpu"],
+    [sys.executable, "examples/run_transformer.py", "--cpu"],
     [sys.executable, "examples/run_pipeline.py", "--cpu"],
+    [sys.executable, "examples/run_train_loop.py", "--cpu"],
+    [sys.executable, "examples/run_resnet18_mnist.py", "--cpu", "--tiny"],
+    [sys.executable, "examples/run_allcnnc_cifar100.py", "--cpu", "--tiny"],
 ]
+
+# Fast inner loop while iterating (not a substitute for the full gate):
+#   python -m pytest -m smoke -q        (~1 min representative subset)
 
 OPTIONAL = [
     ["black", "--check", "pytorchhessianfree_tpu", "tests", "examples"],

@@ -107,31 +107,39 @@ def init_resnet18(
     num_classes: int = 10,
     in_channels: int = 1,
     dtype=jnp.float32,
+    width_scale: float = 1.0,
 ) -> Any:
     """Parameters for ResNet-18: 7x7/2 stem (``in_channels=1`` matches the
     reference's MNIST surgery, reference examples/example_utils.py:93-95),
     3x3/2 maxpool, four stages of two basic blocks, global average pool,
-    linear head."""
+    linear head.
+
+    ``width_scale`` shrinks every channel width (same topology; the apply
+    reads all shapes from the params), for CI-speed / dryrun configs."""
     keys = jax.random.split(key, 11)
+
+    def w(c):
+        return max(1, round(c * width_scale))
+
     params = {
-        "stem": _conv_init(keys[0], 7, 7, in_channels, 64, dtype),
-        "stem_bn": _bn_init(64, dtype),
+        "stem": _conv_init(keys[0], 7, 7, in_channels, w(64), dtype),
+        "stem_bn": _bn_init(w(64), dtype),
         "stages": [],
         "head": {
-            "w": jax.random.normal(keys[1], (512, num_classes), dtype)
-            / jnp.sqrt(jnp.asarray(512.0, dtype)),
+            "w": jax.random.normal(keys[1], (w(512), num_classes), dtype)
+            / jnp.sqrt(jnp.asarray(float(w(512)), dtype)),
             "b": jnp.zeros((num_classes,), dtype),
         },
     }
-    cin = 64
+    cin = w(64)
     ki = 2
     for cout, stride in _STAGES:
         blocks = [
-            _block_init(keys[ki], cin, cout, stride, dtype),
-            _block_init(keys[ki + 1], cout, cout, 1, dtype),
+            _block_init(keys[ki], cin, w(cout), stride, dtype),
+            _block_init(keys[ki + 1], w(cout), w(cout), 1, dtype),
         ]
         params["stages"].append(blocks)
-        cin = cout
+        cin = w(cout)
         ki += 2
     return params
 

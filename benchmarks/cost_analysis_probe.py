@@ -81,7 +81,7 @@ def timed(fn, *args, reps=3):
     return ts[len(ts) // 2]
 
 
-def run(batch, dtype, precision):
+def run(batch, dtype, precision, with_cost=True):
     key = jax.random.PRNGKey(0)
     params = init_resnet18(key, num_classes=10, in_channels=1)
     ravel = TrainableRavel(params, pad_to_multiple=1024)
@@ -93,18 +93,29 @@ def run(batch, dtype, precision):
 
     with jax.default_matmul_precision(precision):
         chain = jax.jit(build_chain(params, ravel, x, y, dtype))
-        ca = measured_cost(chain, params, v0)
+        # NOTE: an explicit lower().compile() does NOT seed the jit
+        # dispatch cache, so cost analysis doubles the (expensive remote)
+        # compile count -- skipped for timing-only sweeps.
+        ca = measured_cost(chain, params, v0) if with_cost else None
         sec = timed(chain, params, v0)
-    flops = float(ca.get("flops", float("nan")))
-    byt = float(ca.get("bytes accessed", float("nan")))
-    tflops = flops / sec / 1e12
-    print(
-        f"b{batch} {jnp.dtype(dtype).name} prec={precision}: "
-        f"XLA flops/matvec {flops / NUM_MV:.3e}, bytes/matvec "
-        f"{byt / NUM_MV:.3e}, {sec / NUM_MV * 1e3:.2f} ms/matvec, "
-        f"{tflops:.1f} TFLOP/s (XLA-counted)",
-        flush=True,
-    )
+    if ca is not None:
+        flops = float(ca.get("flops", float("nan")))
+        byt = float(ca.get("bytes accessed", float("nan")))
+        tflops = flops / sec / 1e12
+        print(
+            f"b{batch} {jnp.dtype(dtype).name} prec={precision}: "
+            f"XLA flops/matvec {flops / NUM_MV:.3e}, bytes/matvec "
+            f"{byt / NUM_MV:.3e}, {sec / NUM_MV * 1e3:.2f} ms/matvec, "
+            f"{tflops:.1f} TFLOP/s (XLA-counted)",
+            flush=True,
+        )
+    else:
+        print(
+            f"b{batch} {jnp.dtype(dtype).name} prec={precision}: "
+            f"{sec / NUM_MV * 1e3:.2f} ms/matvec "
+            f"({NUM_MV * batch / sec:,.0f} sample-matvecs/s)",
+            flush=True,
+        )
     return sec
 
 
@@ -140,6 +151,20 @@ def full_step_cost():
 if __name__ == "__main__":
     print(f"platform: {jax.devices()[0].platform}", flush=True)
     small = "--cpu" in sys.argv
+    if "--big" in sys.argv:
+        # The decisive A/B for the round-2 "112 TFLOP/s on the f32 path"
+        # claim: at b512 the chain is MXU-bound, so if f32-DEFAULT runs at
+        # bf16 speed the f32 path was bf16 passes all along; if it is
+        # ~2-4x slower than bf16, it is genuine f32-precision compute.
+        t_def = run(512, jnp.float32, "default", with_cost=False)
+        t_hi = run(512, jnp.float32, "highest", with_cost=False)
+        t_bf = run(512, jnp.bfloat16, "default", with_cost=False)
+        print(
+            f"b512 ratios: f32-HIGHEST/f32-DEFAULT {t_hi / t_def:.2f}x, "
+            f"f32-DEFAULT/bf16 {t_def / t_bf:.2f}x",
+            flush=True,
+        )
+        sys.exit(0)
     b_hdl = 8 if small else 32
     b_big = 16 if small else 512
     t_def = run(b_hdl, jnp.float32, "default")

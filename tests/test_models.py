@@ -102,3 +102,22 @@ def test_tiny_convnet_trains_with_hf():
     losses = [opt.step((x, y)) for _ in range(3)]
     assert opt.history["init_losses"][0] > opt.history["init_losses"][-1]
     assert all(np.isfinite(v) for v in losses)
+
+
+def test_resnet18_width_scale():
+    """width_scale shrinks every channel (same topology); forward shapes
+    hold because the apply reads all shapes from the params."""
+    from pytorchhessianfree_tpu.models import init_resnet18, resnet18_apply
+
+    key = jax.random.PRNGKey(0)
+    tiny = init_resnet18(key, num_classes=10, in_channels=1,
+                         width_scale=0.125)
+    full = init_resnet18(key, num_classes=10, in_channels=1)
+    n_tiny = sum(a.size for a in jax.tree_util.tree_leaves(tiny))
+    n_full = sum(a.size for a in jax.tree_util.tree_leaves(full))
+    assert n_tiny < n_full / 20
+    assert tiny["stem"].shape[-1] == 8  # 64 * 0.125
+    x = jax.random.normal(key, (2, 28, 28, 1), jnp.float32)
+    out = resnet18_apply(tiny, x)
+    assert out.shape == (2, 10)
+    assert bool(jnp.all(jnp.isfinite(out)))

@@ -22,9 +22,9 @@ import jax
 import jax.numpy as jnp
 
 from pytorchhessianfree_tpu import (
-    HFConfig, HFModelFns, TrainableRavel, init_state, make_hf_step,
+    HFConfig, HFModelFns, TrainableRavel, init_state, make_hf_acc_step,
+    make_hf_step,
 )
-from pytorchhessianfree_tpu.accumulate import make_hf_acc_step
 
 MODEL = "allcnnc" if "allcnnc" in sys.argv else "resnet"
 BATCHES = [32, 128, 256, 512]
@@ -63,7 +63,7 @@ def batch_for(b, seed=0):
     return x, y
 
 
-def time_step(run, batch, label):
+def time_step(run, batch):
     state = init_state(ravel, config)
     t0 = time.perf_counter()
     p, s, st = run(params, state, batch)
@@ -79,15 +79,13 @@ def time_step(run, batch, label):
         iters.append(int(st.num_cg_iters))
     times.sort()
     med = times[len(times) // 2]
-    n = jax.tree_util.tree_leaves(batch)[1].shape[0] if "acc" in label \
-        else jax.tree_util.tree_leaves(batch)[0].shape[0]
     return med, iters, compile_s
 
 
 for b in BATCHES:
     batch = batch_for(b)
     try:
-        med, iters, compile_s = time_step(step, batch, f"b{b}")
+        med, iters, compile_s = time_step(step, batch)
     except Exception as e:  # OOM etc: report and continue
         print(f"b{b}: FAILED ({type(e).__name__}: {str(e)[:120]})",
               flush=True)
@@ -102,14 +100,13 @@ if WITH_ACC:
     # acc_step: 4 stacked chunks of 128 = effective b512 (the reference's
     # large-batch mechanism, scanned on device)
     acc = make_hf_acc_step(fns, config, ravel, "mean", mvp_amortize=False)
-    xs = jnp.stack([batch_for(128, seed=i)[0] for i in range(4)])
-    ys = jnp.stack([batch_for(128, seed=i)[1] for i in range(4)])
+    chunks = [batch_for(128, seed=i) for i in range(4)]
 
     def run_acc(p, s, data):
         return acc(p, s, data)
 
     try:
-        med, iters, compile_s = time_step(run_acc, (xs, ys), "acc")
+        med, iters, compile_s = time_step(run_acc, chunks)
         print(
             f"acc_step 4x128 (eff b512): {med * 1e3:.1f} ms/step "
             f"({512 / med:,.0f} samples/s), cg iters {iters}, "

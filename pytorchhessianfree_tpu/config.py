@@ -151,6 +151,15 @@ class HFConfig:
     # CG vector arithmetic stay in the parameter dtype.  CG tolerates modest
     # matvec noise (the damping absorbs it); None = full precision.
     curvature_dtype: Optional[str] = None
+    # MXU multiplier precision for every matmul/conv traced inside the step
+    # (None = XLA default).  Measured on a v5e (benchmarks/
+    # cost_analysis_probe.py --big, ResNet-18 b512 matvec chain): the
+    # DEFAULT f32 path runs within 7% of bf16 wall-clock while "highest"
+    # is 1.95x slower -- i.e. f32 *storage* gets bf16-class multiplier
+    # passes by default.  Set "highest" for true-f32 curvature products
+    # (e.g. ill-conditioned problems where matvec noise exceeds what the
+    # damping absorbs), "default" to pin today's behavior explicitly.
+    matmul_precision: Optional[str] = None
     # Automatic preconditioning: "none" (pass precond_diag/M explicitly, the
     # reference's manual get_preconditioner flow) or "diag_ef" -- compute the
     # empirical-Fisher diagonal from the step's own batch INSIDE the jitted
@@ -186,3 +195,11 @@ class HFConfig:
             )
         if self.precond not in ("none", "diag_ef"):
             raise ValueError(f"Unknown precond option {self.precond}")
+        if self.matmul_precision is not None and self.matmul_precision not in (
+            "default",
+            "high",
+            "highest",
+        ):
+            raise ValueError(
+                f"Unknown matmul_precision {self.matmul_precision}"
+            )

@@ -556,7 +556,43 @@ def hf_step(
     (reference optimizer.py:943-952).  Custom ``grad_vec`` / ``mvp_vec``
     override the derived quantities (the reference's ``grad=``/``mvp=``
     arguments, used by the accumulation path).
+
+    ``config.matmul_precision`` applies to every matmul/conv traced here
+    (forward passes, curvature products, trial evaluations) -- see the
+    knob's rationale in :class:`~pytorchhessianfree_tpu.config.HFConfig`.
     """
+    if config.matmul_precision is not None:
+        with jax.default_matmul_precision(config.matmul_precision):
+            return _hf_step_impl(
+                params, state, batch, fns=fns, config=config, ravel=ravel,
+                precond_diag=precond_diag,
+                precond_exponent=precond_exponent, M=M, grad_vec=grad_vec,
+                mvp_vec=mvp_vec, shard_vec=shard_vec, shard_buf=shard_buf,
+            )
+    return _hf_step_impl(
+        params, state, batch, fns=fns, config=config, ravel=ravel,
+        precond_diag=precond_diag, precond_exponent=precond_exponent, M=M,
+        grad_vec=grad_vec, mvp_vec=mvp_vec, shard_vec=shard_vec,
+        shard_buf=shard_buf,
+    )
+
+
+def _hf_step_impl(
+    params: Any,
+    state: HFState,
+    batch: Any,
+    *,
+    fns: HFModelFns,
+    config: HFConfig,
+    ravel: TrainableRavel,
+    precond_diag: Optional[jax.Array] = None,
+    precond_exponent: float = 0.75,
+    M: Optional[Callable[[jax.Array], jax.Array]] = None,
+    grad_vec: Optional[jax.Array] = None,
+    mvp_vec: Optional[Callable[[jax.Array], jax.Array]] = None,
+    shard_vec: Optional[Callable[[jax.Array], jax.Array]] = None,
+    shard_buf: Optional[Callable[[jax.Array], jax.Array]] = None,
+) -> Tuple[Any, HFState, HFStats]:
     loss, derived_grad, derived_mvp = _build_matvec_and_grad(
         fns, config, ravel, params, batch
     )

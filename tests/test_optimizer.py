@@ -494,3 +494,22 @@ def test_step_variant_cache_is_bounded_lru():
     # acc-step variants share the same bounded cache
     opt.acc_step([(x[:4], y[:4]), (x[4:], y[4:])], reduction="mean")
     assert ("mean", False) in opt._acc_steps
+
+
+def test_matmul_precision_knob():
+    """config.matmul_precision threads jax.default_matmul_precision through
+    the whole traced step; invalid values are rejected eagerly."""
+    key = jax.random.PRNGKey(0)
+    params = init_mlp(key, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 7), jnp.float32)
+    y = jax.random.normal(jax.random.PRNGKey(2), (8, 3), jnp.float32)
+    fns = HFModelFns(model_fn=mlp_apply, loss_outer=mse_loss)
+    ravel = TrainableRavel(params)
+    for prec in (None, "default", "highest"):
+        config = HFConfig(damping=0.5, cg_max_iter=5,
+                          matmul_precision=prec)
+        step = make_hf_step(fns, config, ravel)
+        p, s, st = step(params, init_state(ravel, config), (x, y))
+        assert np.isfinite(float(st.final_loss))
+    with pytest.raises(ValueError, match="matmul_precision"):
+        HFConfig(matmul_precision="bf16-ish")

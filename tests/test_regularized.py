@@ -124,11 +124,13 @@ def test_acc_step_with_reg_matches_step(curvature_opt, reduction):
     ):
         # chunked accumulation reorders the fp reductions; CG amplifies the
         # last-bit difference over its iterations (more for the ~16x-scaled
-        # "sum" losses), while every discrete decision stays in lockstep.
-        # The reference pins this equivalence at atol 1e-4 for f32 torch
-        # (reference tests/test_optimizer_acc.py:124-175); this suite runs
-        # f64, so hold a 10x tighter bound to keep regression headroom.
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        # "sum" losses, measured ~1.3e-5 there vs <1e-5 for "mean"), while
+        # every discrete decision stays in lockstep.  The reference pins
+        # this equivalence at atol 1e-4 for f32 torch (reference
+        # tests/test_optimizer_acc.py:124-175); this f64 suite holds 2-10x
+        # tighter bounds, split per reduction scale.
+        atol = 5e-5 if reduction == "sum" else 1e-5
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=atol)
     assert int(st_a.num_cg_iters) == int(st_b.num_cg_iters)
     assert int(st_a.best_cg_iter) == int(st_b.best_cg_iter)
     np.testing.assert_allclose(float(st_a.lr), float(st_b.lr), rtol=1e-12)

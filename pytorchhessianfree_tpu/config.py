@@ -101,6 +101,20 @@ class LineSearchConfig:
             raise ValueError(f"Invalid line-search max_iter {self.max_iter}")
 
 
+def precision_ctx(config: "HFConfig"):
+    """Context manager applying ``config.matmul_precision`` (no-op when
+    unset).  Used by every traced compute site: the step core wraps itself,
+    and the train-loop bodies wrap their in-body ``diag_EF`` so the EMA
+    preconditioner construction sees the same MXU precision as the step."""
+    import contextlib
+
+    import jax
+
+    if config.matmul_precision is None:
+        return contextlib.nullcontext()
+    return jax.default_matmul_precision(config.matmul_precision)
+
+
 @dataclasses.dataclass(frozen=True)
 class HFConfig:
     """Top-level Hessian-free optimizer configuration.

@@ -26,6 +26,7 @@ from typing import Any, Callable, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from . import config as config_mod
 from .config import HFConfig
 from .ops import cg as cg_mod
 from .ops.cg import cg
@@ -561,20 +562,13 @@ def hf_step(
     (forward passes, curvature products, trial evaluations) -- see the
     knob's rationale in :class:`~pytorchhessianfree_tpu.config.HFConfig`.
     """
-    if config.matmul_precision is not None:
-        with jax.default_matmul_precision(config.matmul_precision):
-            return _hf_step_impl(
-                params, state, batch, fns=fns, config=config, ravel=ravel,
-                precond_diag=precond_diag,
-                precond_exponent=precond_exponent, M=M, grad_vec=grad_vec,
-                mvp_vec=mvp_vec, shard_vec=shard_vec, shard_buf=shard_buf,
-            )
-    return _hf_step_impl(
-        params, state, batch, fns=fns, config=config, ravel=ravel,
-        precond_diag=precond_diag, precond_exponent=precond_exponent, M=M,
-        grad_vec=grad_vec, mvp_vec=mvp_vec, shard_vec=shard_vec,
-        shard_buf=shard_buf,
-    )
+    with config_mod.precision_ctx(config):
+        return _hf_step_impl(
+            params, state, batch, fns=fns, config=config, ravel=ravel,
+            precond_diag=precond_diag, precond_exponent=precond_exponent,
+            M=M, grad_vec=grad_vec, mvp_vec=mvp_vec, shard_vec=shard_vec,
+            shard_buf=shard_buf,
+        )
 
 
 def _hf_step_impl(
@@ -737,10 +731,12 @@ def make_hf_train_loop(
             if use_ema:
                 p, s, ema, ema_ready = carry
                 inputs, targets = batch
-                d = diag_EF(
-                    fns.model_fn, fns.loss_outer, p, inputs, targets,
-                    config.precond_reduction, ravel, loss_reg=fns.loss_reg,
-                )
+                with config_mod.precision_ctx(config):
+                    d = diag_EF(
+                        fns.model_fn, fns.loss_outer, p, inputs, targets,
+                        config.precond_reduction, ravel,
+                        loss_reg=fns.loss_reg,
+                    )
                 # An explicit "EMA seeded" flag (NOT step_count == 0): when
                 # the loop resumes from a checkpoint with step_count > 0, the
                 # first real diagonal must still seed the EMA rather than be

@@ -381,17 +381,19 @@ def make_sharded_hf_train_loop(
         def _loop(params, state, batches, ema_state):
             def body(carry, batch):
                 if use_ema:
+                    from ..config import precision_ctx
                     from ..ops.precond import diag_EF
 
                     p, s, ema, ema_ready = carry
                     inputs, targets = batch
-                    d = shard_vec(
-                        diag_EF(
-                            fns.model_fn, fns.loss_outer, p, inputs,
-                            targets, config.precond_reduction, ravel,
-                            loss_reg=fns.loss_reg,
+                    with precision_ctx(config):
+                        d = shard_vec(
+                            diag_EF(
+                                fns.model_fn, fns.loss_outer, p, inputs,
+                                targets, config.precond_reduction, ravel,
+                                loss_reg=fns.loss_reg,
+                            )
                         )
-                    )
                     ema = shard_vec(
                         jnp.where(
                             ema_ready,

@@ -223,3 +223,50 @@ def test_many_threads_epoch_coverage():
             seen.extend(int(v) for v in by)
         assert sorted(seen) == list(range(128))
     loader.close()
+
+
+def test_npy_to_prefetcher_to_hf_step_end_to_end(tmp_path):
+    """The full real-data path the examples' --data flag wires up:
+    mmap .npy -> C++ PrefetchLoader -> DevicePrefetcher -> jitted HF step.
+    Locks the plumbing the flagship workloads use for real datasets."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytorchhessianfree_tpu import (
+        HFConfig,
+        HFModelFns,
+        TrainableRavel,
+        init_state,
+        make_hf_step,
+    )
+    from pytorchhessianfree_tpu.models import init_mlp, mlp_apply
+    from pytorchhessianfree_tpu.models.mlp import mse_loss
+    from pytorchhessianfree_tpu.runtime.loader import PrefetchLoader
+    from pytorchhessianfree_tpu.runtime.prefetch import DevicePrefetcher
+
+    rng = np.random.default_rng(0)
+    xp = str(tmp_path / "train_x.npy")
+    yp = str(tmp_path / "train_y.npy")
+    np.save(xp, rng.standard_normal((64, 7)).astype(np.float32))
+    np.save(yp, rng.standard_normal((64, 3)).astype(np.float32))
+
+    params = init_mlp(jax.random.PRNGKey(0), dtype=jnp.float32)
+    fns = HFModelFns(model_fn=mlp_apply, loss_outer=mse_loss)
+    config = HFConfig(damping=0.5, cg_max_iter=5)
+    ravel = TrainableRavel(params)
+    step = make_hf_step(fns, config, ravel)
+    state = init_state(ravel, config)
+
+    loader = PrefetchLoader.from_npy(xp, yp, batch_size=16, seed=1)
+    losses = []
+    with DevicePrefetcher(loader, depth=2, n_batches=3) as pf:
+        for batch in pf:
+            x, y = batch
+            assert isinstance(x, jax.Array)  # already on device
+            assert x.shape == (16, 7) and y.shape == (16, 3)
+            params, state, stats = step(params, state, batch)
+            losses.append(float(stats.init_loss))
+    loader.close()
+    assert len(losses) == 3
+    assert all(np.isfinite(v) for v in losses)
+    assert int(state.step_count) == 3

@@ -62,3 +62,14 @@ if __name__ == "__main__":
           f"final loss {float(st.final_loss[-1]):.5f}")
     print(f"host-dispatch overhead avoided: "
           f"{1e3 * (t_loop - t_scan) / STEPS:.2f} ms/step")
+
+    # The same scan through the stateful wrapper (history per step kept)
+    from pytorchhessianfree_tpu import HessianFree
+
+    opt = HessianFree(params, model_fn=mlp_apply, loss_outer=mse_loss,
+                      damping=0.5, cg_max_iter=30, pad_to_multiple=None)
+    finals = opt.train_steps((xs, ys))
+    assert abs(finals[-1] - float(st.final_loss[-1])) < 1e-6
+    print(f"wrapper     : opt.train_steps ran {len(finals)} steps, "
+          f"final loss {finals[-1]:.5f}, history length "
+          f"{len(opt.history['final_losses'])}")

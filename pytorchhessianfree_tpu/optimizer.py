@@ -1439,6 +1439,83 @@ class HessianFree:
         )
         return self._record(stats)
 
+    def train_steps(self, batches, precond_ema_decay=None):
+        """Run T optimizer steps as ONE compiled ``lax.scan`` program (the
+        stateful face of ``make_hf_train_loop``; no reference analog -- its
+        training loops are host-side Python).
+
+        ``batches``: stacked batch pytree with a leading steps axis
+        (leaves ``[T, N, ...]``).  With ``mesh=``, the batch axis is
+        sharded over the data axis (and the solver state over the model
+        axis when present), exactly like :meth:`step`.
+
+        ``precond_ema_decay``: carry an EMA empirical-Fisher diagonal
+        across the scanned steps and precondition every CG solve with it;
+        the EMA state persists on the optimizer across calls (epoch-by-
+        epoch training does not restart it).
+
+        Appends every step to :attr:`history` and returns the list of
+        final losses (one per step).
+        """
+        key = ("train_loop", precond_ema_decay)
+
+        def _build():
+            if self.mesh is not None:
+                if self._model_axis in self.mesh.axis_names:
+                    from .parallel.sharded import make_sharded_hf_train_loop
+
+                    return make_sharded_hf_train_loop(
+                        self.fns, self.config, self.ravel, self.mesh,
+                        data_axis=self._data_axis,
+                        model_axis=self._model_axis,
+                        param_specs=self._param_specs,
+                        precond_exponent=self.config.precond_exponent,
+                        precond_ema_decay=precond_ema_decay,
+                    )
+                from .parallel.data_parallel import make_dp_hf_train_loop
+
+                return make_dp_hf_train_loop(
+                    self.fns, self.config, self.ravel, self.mesh,
+                    axis_name=self._data_axis,
+                    precond_exponent=self.config.precond_exponent,
+                    precond_ema_decay=precond_ema_decay,
+                )
+            return make_hf_train_loop(
+                self.fns, self.config, self.ravel,
+                precond_exponent=self.config.precond_exponent,
+                precond_ema_decay=precond_ema_decay,
+            )
+
+        loop = self._cached_step(key, _build)
+        if precond_ema_decay is not None:
+            self.params, self.state, stats, self._ema_state = loop(
+                self.params, self.state, batches,
+                getattr(self, "_ema_state", None),
+            )
+        else:
+            self.params, self.state, stats = loop(
+                self.params, self.state, batches
+            )
+        import numpy as np
+
+        stats = jax.device_get(stats)
+        h = self.history
+        finals = []
+        num_steps = int(np.asarray(stats.init_loss).shape[0])
+        for i in range(num_steps):
+            h["init_losses"].append(float(stats.init_loss[i]))
+            h["final_losses"].append(float(stats.final_loss[i]))
+            h["dampings"].append(float(stats.damping[i]))
+            h["cg_reasons"].append(
+                cg_mod.CG_REASON_STRINGS[int(stats.cg_reason[i])]
+            )
+            h["num_cg_iters"].append(int(stats.num_cg_iters[i]))
+            h["best_cg_iters"].append(int(stats.best_cg_iter[i]))
+            h["learning_rates"].append(float(stats.lr[i]))
+            finals.append(float(stats.final_loss[i]))
+        self.last_stats = stats
+        return finals
+
     # -- preconditioning ----------------------------------------------------
     def get_preconditioner(
         self,

@@ -25,6 +25,8 @@ reference's step == acc_step trajectory test
 from __future__ import annotations
 
 import functools
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -167,6 +169,51 @@ def make_dp_hf_step_shardmap(
         return step_jit(params, state, batch, precond_diag, use_precond)
 
     return step
+
+
+def make_dp_hf_train_loop(
+    fns: HFModelFns,
+    config: HFConfig,
+    ravel: TrainableRavel,
+    mesh: Mesh,
+    axis_name: str = "data",
+    precond_exponent: float = 0.75,
+    donate: bool = False,
+    precond_ema_decay: Optional[float] = None,
+):
+    """Data-parallel scan-of-steps training loop: the GSPMD analog of
+    :func:`~pytorchhessianfree_tpu.optimizer.make_hf_train_loop` --
+    ``batches`` leaves are stacked ``[T, N, ...]`` with the batch axis
+    sharded over ``axis_name`` (N divisible by the axis size),
+    params/state replicated; XLA derives the per-step collectives from the
+    sharding annotations exactly as in :func:`make_dp_hf_step`.
+
+    Same signature/return as the single-device loop (incl. the
+    ``precond_ema_decay`` EMA carry, whose diagonal is a per-sample
+    reduction and therefore ends up replicated).
+    """
+    from ..optimizer import make_hf_train_loop
+
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(None, axis_name))
+    inner = make_hf_train_loop(
+        fns, config, ravel,
+        precond_exponent=precond_exponent,
+        donate=donate,
+        precond_ema_decay=precond_ema_decay,
+    )
+
+    def loop(params, state, batches, ema_state=None):
+        params = jax.device_put(params, repl)
+        state = jax.device_put(state, repl)
+        batches = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, shard), batches
+        )
+        if precond_ema_decay is not None:
+            return inner(params, state, batches, ema_state)
+        return inner(params, state, batches)
+
+    return loop
 
 
 def make_dp_hf_acc_step(

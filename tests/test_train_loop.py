@@ -167,3 +167,112 @@ def test_train_loop_ema_carries_across_invocations():
         )
     ]
     assert max(diffs) > 1e-12
+
+
+def test_wrapper_train_steps_matches_python_loop():
+    """HessianFree.train_steps (scan-of-steps on the wrapper) follows the
+    exact same trajectory and history as T individual .step calls."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pytorchhessianfree_tpu import HessianFree
+    from pytorchhessianfree_tpu.models import init_mlp, mlp_apply
+    from pytorchhessianfree_tpu.models.mlp import mse_loss
+
+    key = jax.random.PRNGKey(0)
+    params = init_mlp(key, dtype=jnp.float64)
+    T = 4
+    xs = jax.random.normal(jax.random.PRNGKey(1), (T, 12, 7), jnp.float64)
+    ys = jax.random.normal(jax.random.PRNGKey(2), (T, 12, 3), jnp.float64)
+
+    kw = dict(model_fn=mlp_apply, loss_outer=mse_loss, damping=0.5,
+              cg_max_iter=10, pad_to_multiple=None)
+    opt_a = HessianFree(params, **kw)
+    for i in range(T):
+        opt_a.step((xs[i], ys[i]))
+
+    opt_b = HessianFree(params, **kw)
+    finals = opt_b.train_steps((xs, ys))
+
+    assert len(finals) == T
+    for k in ("init_losses", "final_losses", "dampings", "num_cg_iters",
+              "best_cg_iters", "learning_rates", "cg_reasons"):
+        if k in ("num_cg_iters", "best_cg_iters", "cg_reasons"):
+            assert opt_a.history[k] == opt_b.history[k], k
+        else:
+            np.testing.assert_allclose(
+                opt_a.history[k], opt_b.history[k], rtol=1e-12, atol=1e-12,
+            )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(opt_a.params),
+        jax.tree_util.tree_leaves(opt_b.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-10, atol=1e-12)
+
+
+def test_wrapper_train_steps_dp_mesh_matches_single_device():
+    """train_steps under a data-only mesh == the single-device trajectory."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from pytorchhessianfree_tpu import HessianFree
+    from pytorchhessianfree_tpu.models import init_mlp, mlp_apply
+    from pytorchhessianfree_tpu.models.mlp import mse_loss
+    from pytorchhessianfree_tpu.parallel.mesh import make_mesh
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 (virtual) devices")
+
+    key = jax.random.PRNGKey(0)
+    params = init_mlp(key, dtype=jnp.float64)
+    T = 3
+    xs = jax.random.normal(jax.random.PRNGKey(1), (T, 16, 7), jnp.float64)
+    ys = jax.random.normal(jax.random.PRNGKey(2), (T, 16, 3), jnp.float64)
+
+    kw = dict(model_fn=mlp_apply, loss_outer=mse_loss, damping=0.5,
+              cg_max_iter=10, pad_to_multiple=None)
+    opt_ref = HessianFree(params, **kw)
+    opt_ref.train_steps((xs, ys))
+
+    opt_dp = HessianFree(params, **kw, mesh=make_mesh(8))
+    opt_dp.train_steps((xs, ys))
+
+    assert opt_ref.history["num_cg_iters"] == opt_dp.history["num_cg_iters"]
+    for a, b in zip(
+        jax.tree_util.tree_leaves(opt_ref.params),
+        jax.tree_util.tree_leaves(opt_dp.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-10)
+
+
+def test_wrapper_train_steps_ema_carries_across_calls():
+    """The EMA diag persists on the optimizer across train_steps calls."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pytorchhessianfree_tpu import HessianFree
+    from pytorchhessianfree_tpu.models import init_mlp, mlp_apply
+    from pytorchhessianfree_tpu.models.mlp import mse_loss
+
+    key = jax.random.PRNGKey(0)
+    params = init_mlp(key, dtype=jnp.float64)
+    xs = jax.random.normal(jax.random.PRNGKey(1), (2, 12, 7), jnp.float64)
+    ys = jax.random.normal(jax.random.PRNGKey(2), (2, 12, 3), jnp.float64)
+
+    opt = HessianFree(params, model_fn=mlp_apply, loss_outer=mse_loss,
+                      damping=0.5, cg_max_iter=10, pad_to_multiple=None)
+    opt.train_steps((xs, ys), precond_ema_decay=0.9)
+    ema1 = np.asarray(opt._ema_state[0]).copy()
+    assert bool(opt._ema_state[1])  # seeded
+    opt.train_steps((xs, ys), precond_ema_decay=0.9)
+    ema2 = np.asarray(opt._ema_state[0])
+    assert not np.allclose(ema1, 0.0)
+    assert not np.array_equal(ema1, ema2)  # kept evolving, not reset
+    assert len(opt.history["init_losses"]) == 4
+    assert all(np.isfinite(v) for v in opt.history["final_losses"])

@@ -242,8 +242,44 @@ def _torch_cg(A, b, x0, max_iter, tol=1e-5):
     return x, stored, m_hist, it
 
 
-def reference_hf_step(model, x, y, params, x0, damping, cg_max_iter=50):
+class AllCNNC(nn.Module):
+    """All-CNN-C for CIFAR-100 (Springenberg et al. 2015): the reference's
+    DeepOBS flagship (reference examples/run_allcnnc_cifar100_deepobs.py),
+    dropout-free like its eval() mode.  Layer 6 uses VALID padding."""
+
+    _LAYOUT = [  # (ksz, cin, cout, stride, pad)
+        (3, 3, 96, 1, 1), (3, 96, 96, 1, 1), (3, 96, 96, 2, 1),
+        (3, 96, 192, 1, 1), (3, 192, 192, 1, 1), (3, 192, 192, 2, 1),
+        (3, 192, 192, 1, 0), (1, 192, 192, 1, 0),
+    ]
+
+    def __init__(self, num_classes=100):
+        super().__init__()
+        layers = []
+        for k, cin, cout, s, p in self._LAYOUT:
+            layers += [nn.Conv2d(cin, cout, k, s, p), nn.ReLU()]
+        layers += [nn.Conv2d(192, num_classes, 1, 1, 0)]
+        self.features = nn.Sequential(*layers)
+
+    def forward(self, x):
+        return self.features(x).mean(dim=(2, 3))
+
+
+def allcnnc_l2(params, coeff=5e-4):
+    """0.5 * coeff * sum ||w||^2 over conv kernels (DeepOBS weight decay,
+    reference examples/example_utils.py:76-81)."""
+    return 0.5 * coeff * sum(
+        (v**2).sum() for k, v in params.items() if "weight" in k
+    )
+
+
+def reference_hf_step(model, x, y, params, x0, damping, cg_max_iter=50,
+                      reg=None):
     """One full reference-semantics HF step (GGN curvature) in torch on CPU.
+
+    ``reg(params) -> scalar``: optional params-only regularizer -- enters
+    the loss, the gradient and every trial evaluation, NOT the GGN (the
+    reference's behavior with a regularized forward closure).
 
     Returns ``(new_params, new_x0, new_damping, num_cg_iters)``.
     """
@@ -258,6 +294,9 @@ def reference_hf_step(model, x, y, params, x0, damping, cg_max_iter=50):
     loss_grad = torch.func.grad(lambda o: F.cross_entropy(o, y))
     init_loss = float(F.cross_entropy(outputs, y))
     grad = _flat(vjp_fn(loss_grad(outputs))[0]).detach()
+    if reg is not None:
+        init_loss += float(reg(params))
+        grad = grad + _flat(torch.func.grad(reg)(params)).detach()
 
     def gv_flat(v):
         Jv = jvp_fn(_unflat(v, params))
@@ -277,11 +316,14 @@ def reference_hf_step(model, x, y, params, x0, damping, cg_max_iter=50):
     @torch.no_grad()
     def tfunc(delta):
         trial = _unflat(params_flat + delta, params)
-        return float(
+        val = float(
             F.cross_entropy(
                 torch.func.functional_call(model, (trial, buffers), (x,)), y
             )
         )
+        if reg is not None:
+            val += float(reg(trial))
+        return val
 
     # LM damping adaptation (f_0 at the warm start, reference optimizer.py:302)
     f_0 = tfunc(x0)
@@ -326,19 +368,30 @@ def reference_hf_step(model, x, y, params, x0, damping, cg_max_iter=50):
 
 def measure_reference_hf_step_seconds(
     batch_size: int = 32, cg_max_iter: int = 50, num_steps: int = 3,
-    seed: int = 0,
+    seed: int = 0, model_name: str = "resnet18",
 ):
-    """Median wall-clock of a full reference-semantics HF step on
-    ResNet-18/MNIST (CPU), measured over ``num_steps`` consecutive steps
-    after one warmup step (so the warm start and adapted damping are in
-    their steady regime, like the JAX-side step benches).
+    """Median wall-clock of a full reference-semantics HF step on CPU,
+    measured over ``num_steps`` consecutive steps after one warmup step
+    (so the warm start and adapted damping are in their steady regime,
+    like the JAX-side step benches).
+
+    ``model_name``: "resnet18" (MNIST stem, plain CE) or "allcnnc"
+    (CIFAR-100 shapes, L2-regularized CE -- the reference's DeepOBS
+    flagship configuration).
 
     Returns ``(median_seconds, [cg_iters per timed step])``.
     """
     torch.manual_seed(seed)
-    model = ResNet18().eval()
-    x = torch.randn(batch_size, 1, 28, 28)
-    y = torch.randint(0, 10, (batch_size,))
+    if model_name == "allcnnc":
+        model = AllCNNC().eval()
+        x = torch.randn(batch_size, 3, 32, 32)
+        y = torch.randint(0, 100, (batch_size,))
+        reg = allcnnc_l2
+    else:
+        model = ResNet18().eval()
+        x = torch.randn(batch_size, 1, 28, 28)
+        y = torch.randint(0, 10, (batch_size,))
+        reg = None
 
     params = {
         k: v.detach().clone() for k, v in model.named_parameters()
@@ -348,14 +401,14 @@ def measure_reference_hf_step_seconds(
     damping = 1.0
 
     params, x0, damping, _ = reference_hf_step(
-        model, x, y, params, x0, damping, cg_max_iter
+        model, x, y, params, x0, damping, cg_max_iter, reg=reg
     )  # warmup step
 
     times, iters = [], []
     for _ in range(num_steps):
         t0 = time.perf_counter()
         params, x0, damping, its = reference_hf_step(
-            model, x, y, params, x0, damping, cg_max_iter
+            model, x, y, params, x0, damping, cg_max_iter, reg=reg
         )
         times.append(time.perf_counter() - t0)
         iters.append(its)

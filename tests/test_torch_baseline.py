@@ -90,3 +90,32 @@ def test_reference_hf_step_smoke():
     assert all(torch.isfinite(v).all() for v in new_params.values())
     assert float(new_damping) in (1.5, 2 / 3, 1.0)
     assert torch.isfinite(new_x0).all()
+
+
+def test_reference_hf_step_with_regularizer():
+    """L2-regularized full step (the All-CNN-C flagship configuration):
+    the reg enters loss/gradient/trials; step stays finite; the baseline
+    AllCNNC has the paper layer count and CIFAR-100 head."""
+    from benchmarks.torch_baseline import (
+        AllCNNC,
+        allcnnc_l2,
+        reference_hf_step,
+    )
+
+    model = AllCNNC(num_classes=100).eval()
+    convs = [m for m in model.features if isinstance(m, torch.nn.Conv2d)]
+    assert len(convs) == 9
+    assert convs[-1].out_channels == 100
+
+    torch.manual_seed(0)
+    x = torch.randn(4, 3, 32, 32)
+    y = torch.randint(0, 100, (4,))
+    params = {k: v.detach().clone() for k, v in model.named_parameters()}
+    n = sum(p.numel() for p in params.values())
+    new_params, new_x0, new_damping, iters = reference_hf_step(
+        model, x, y, params, torch.zeros(n), 1.0, cg_max_iter=3,
+        reg=allcnnc_l2,
+    )
+    assert 1 <= iters <= 3
+    assert all(torch.isfinite(v).all() for v in new_params.values())
+    assert float(allcnnc_l2(params)) > 0.0

@@ -27,7 +27,8 @@ steps-to-target metric is a single chaotic f32 trajectory per seed, so the
 median over seeds is the stable headline (a dead-code change once shifted
 one seed's trajectory through XLA fusion alone; see BENCH_DETAILS).
 
-Flags: --steps N (default 100), --targets a,b,c, --data DIR, --seeds K.
+Flags: --steps N (default 100), --targets a,b,c, --data DIR, --seeds K,
+--cg N (cg_max_iter, default 50 -- budget-sensitivity studies).
 """
 import os, sys, time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -54,6 +55,7 @@ TARGETS = tuple(
 )
 DATA_DIR = _flag("--data", None, str)
 NUM_SEEDS = _flag("--seeds", 1, int)
+CG_MAX_ITER = _flag("--cg", 50, int)
 BATCH = 32
 
 
@@ -83,14 +85,15 @@ fns = HFModelFns(
     model_fn=allcnnc_apply, loss_outer=cross_entropy_loss,
     loss_reg=l2_regularizer,
 )
-config = HFConfig(damping=1.0, cg_max_iter=50)
+config = HFConfig(damping=1.0, cg_max_iter=CG_MAX_ITER)
 params0 = init_allcnnc(jax.random.PRNGKey(0), num_classes=100)
 ravel = TrainableRavel(params0, pad_to_multiple=1024)
 loop = make_hf_train_loop(fns, config, ravel)
 batches = load_batches()
 
 print(f"data: {'REAL ' + DATA_DIR if DATA_DIR else 'synthetic teacher'}"
-      f" | {STEPS} steps x b{BATCH} | seeds {NUM_SEEDS}", flush=True)
+      f" | {STEPS} steps x b{BATCH} | seeds {NUM_SEEDS} | cg "
+      f"{CG_MAX_ITER}", flush=True)
 
 per_seed_losses, ms_per_step = [], None
 for seed in range(NUM_SEEDS):

@@ -172,24 +172,32 @@ def torch_baselines() -> dict:
 
 if __name__ == "__main__":
     rate = measure_jax_matvecs_per_sec()
-    step_sec, step_iters = measure_jax_hf_step_seconds()
+    # The step program's remote compile occasionally hits a slow service
+    # phase; never let that lose the primary metric.
+    try:
+        step_sec, step_iters = measure_jax_hf_step_seconds()
+    except Exception as e:  # pragma: no cover - service-dependent
+        import sys
+
+        print(f"hf-step measurement failed: {e!r}", file=sys.stderr)
+        step_sec, step_iters = None, None
     baselines = torch_baselines()
     mv_base = float(baselines["torch_cpu_ggn_matvecs_per_sec"])
     step_base = float(baselines["torch_cpu_hf_step_seconds"])
-    print(
-        json.dumps(
-            {
-                "metric": "ggn_matvecs_per_sec_resnet18_mnist_b32",
-                "value": round(rate, 2),
-                "unit": "matvec/s",
-                "vs_baseline": round(rate / mv_base, 2),
-                "hf_step_ms": round(step_sec * 1e3, 2),
-                "hf_step_cg_iters": step_iters,
-                "hf_step_vs_torch_cpu": round(step_base / step_sec, 2),
-                "torch_cpu_hf_step_ms": round(step_base * 1e3, 1),
-                "torch_cpu_hf_step_cg_iters": baselines.get(
-                    "torch_cpu_hf_step_cg_iters"
-                ),
-            }
+    out = {
+        "metric": "ggn_matvecs_per_sec_resnet18_mnist_b32",
+        "value": round(rate, 2),
+        "unit": "matvec/s",
+        "vs_baseline": round(rate / mv_base, 2),
+        "torch_cpu_hf_step_ms": round(step_base * 1e3, 1),
+        "torch_cpu_hf_step_cg_iters": baselines.get(
+            "torch_cpu_hf_step_cg_iters"
+        ),
+    }
+    if step_sec is not None:
+        out.update(
+            hf_step_ms=round(step_sec * 1e3, 2),
+            hf_step_cg_iters=step_iters,
+            hf_step_vs_torch_cpu=round(step_base / step_sec, 2),
         )
-    )
+    print(json.dumps(out))

@@ -28,7 +28,9 @@ median over seeds is the stable headline (a dead-code change once shifted
 one seed's trajectory through XLA fusion alone; see BENCH_DETAILS).
 
 Flags: --steps N (default 100), --targets a,b,c, --data DIR, --seeds K,
---cg N (cg_max_iter, default 50 -- budget-sensitivity studies).
+--cg N (cg_max_iter, default 50 -- budget-sensitivity studies),
+--ema D (EMA diag-EF preconditioning with decay D, e.g. 0.95; the loop
+carries the diagonal on device -- preconditioner payoff studies).
 """
 import os, sys, time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -56,6 +58,7 @@ TARGETS = tuple(
 DATA_DIR = _flag("--data", None, str)
 NUM_SEEDS = _flag("--seeds", 1, int)
 CG_MAX_ITER = _flag("--cg", 50, int)
+EMA_DECAY = _flag("--ema", None, float)
 BATCH = 32
 
 
@@ -88,22 +91,25 @@ fns = HFModelFns(
 config = HFConfig(damping=1.0, cg_max_iter=CG_MAX_ITER)
 params0 = init_allcnnc(jax.random.PRNGKey(0), num_classes=100)
 ravel = TrainableRavel(params0, pad_to_multiple=1024)
-loop = make_hf_train_loop(fns, config, ravel)
+loop = make_hf_train_loop(fns, config, ravel,
+                          precond_ema_decay=EMA_DECAY)
 batches = load_batches()
 
 print(f"data: {'REAL ' + DATA_DIR if DATA_DIR else 'synthetic teacher'}"
       f" | {STEPS} steps x b{BATCH} | seeds {NUM_SEEDS} | cg "
-      f"{CG_MAX_ITER}", flush=True)
+      f"{CG_MAX_ITER} | ema {EMA_DECAY}", flush=True)
 
 per_seed_losses, ms_per_step = [], None
 for seed in range(NUM_SEEDS):
     params = (params0 if seed == 0
               else init_allcnnc(jax.random.PRNGKey(seed), num_classes=100))
-    p, s, stats = loop(params, init_state(ravel, config), batches)
-    _ = float(ravel.ravel(p)[0])  # force (compile on first seed)
+    def run_once():
+        out = loop(params, init_state(ravel, config), batches)
+        _ = float(ravel.ravel(out[0])[0])
+        return out[2]
+    stats = run_once()  # compile on first seed
     t0 = time.perf_counter()
-    p, s, stats = loop(params, init_state(ravel, config), batches)
-    _ = float(ravel.ravel(p)[0])
+    stats = run_once()
     total = time.perf_counter() - t0
     if ms_per_step is None:
         ms_per_step = total / STEPS * 1e3

@@ -276,3 +276,62 @@ def test_wrapper_train_steps_ema_carries_across_calls():
     assert not np.array_equal(ema1, ema2)  # kept evolving, not reset
     assert len(opt.history["init_losses"]) == 4
     assert all(np.isfinite(v) for v in opt.history["final_losses"])
+
+
+def test_dp_train_loop_ema_matches_single_device():
+    """make_dp_hf_train_loop with the EMA diag carry == the single-device
+    EMA loop trajectory (the dryrun's n=2 fallback path, pinned in CI)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from pytorchhessianfree_tpu import (
+        HFConfig,
+        HFModelFns,
+        TrainableRavel,
+        init_state,
+        make_hf_train_loop,
+    )
+    from pytorchhessianfree_tpu.models import init_mlp, mlp_apply
+    from pytorchhessianfree_tpu.models.mlp import mse_loss
+    from pytorchhessianfree_tpu.parallel.data_parallel import (
+        make_dp_hf_train_loop,
+    )
+    from pytorchhessianfree_tpu.parallel.mesh import make_mesh
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 (virtual) devices")
+
+    key = jax.random.PRNGKey(0)
+    params = init_mlp(key, dtype=jnp.float64)
+    fns = HFModelFns(model_fn=mlp_apply, loss_outer=mse_loss)
+    config = HFConfig(damping=0.5, cg_max_iter=8)
+    ravel = TrainableRavel(params)
+    xs = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 7), jnp.float64)
+    ys = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 3), jnp.float64)
+
+    ref = make_hf_train_loop(fns, config, ravel, precond_ema_decay=0.9)
+    p_ref, s_ref, st_ref, ema_ref = ref(
+        params, init_state(ravel, config), (xs, ys)
+    )
+
+    dp = make_dp_hf_train_loop(
+        fns, config, ravel, make_mesh(8), precond_ema_decay=0.9
+    )
+    p_dp, s_dp, st_dp, ema_dp = dp(
+        params, init_state(ravel, config), (xs, ys)
+    )
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_ref), jax.tree_util.tree_leaves(p_dp)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(ema_ref[0]), np.asarray(ema_dp[0]),
+        rtol=1e-9, atol=1e-12,
+    )
+    assert [int(v) for v in st_ref.num_cg_iters] == [
+        int(v) for v in st_dp.num_cg_iters
+    ]

@@ -181,23 +181,41 @@ if __name__ == "__main__":
 
         print(f"hf-step measurement failed: {e!r}", file=sys.stderr)
         step_sec, step_iters = None, None
-    baselines = torch_baselines()
-    mv_base = float(baselines["torch_cpu_ggn_matvecs_per_sec"])
-    step_base = float(baselines["torch_cpu_hf_step_seconds"])
+    try:
+        baselines = torch_baselines()
+    except Exception as e:  # pragma: no cover - environment-dependent
+        import sys
+
+        print(f"torch baseline (re)measurement failed: {e!r}",
+              file=sys.stderr)
+        baselines = {}
+        if os.path.exists(CACHE):
+            with open(CACHE) as f:
+                baselines = json.load(f)
+    mv_base = baselines.get("torch_cpu_ggn_matvecs_per_sec")
+    step_base = baselines.get("torch_cpu_hf_step_seconds")
     out = {
         "metric": "ggn_matvecs_per_sec_resnet18_mnist_b32",
         "value": round(rate, 2),
         "unit": "matvec/s",
-        "vs_baseline": round(rate / mv_base, 2),
-        "torch_cpu_hf_step_ms": round(step_base * 1e3, 1),
-        "torch_cpu_hf_step_cg_iters": baselines.get(
-            "torch_cpu_hf_step_cg_iters"
+        "vs_baseline": (
+            round(rate / float(mv_base), 2) if mv_base else None
         ),
     }
+    if step_base:
+        out.update(
+            torch_cpu_hf_step_ms=round(float(step_base) * 1e3, 1),
+            torch_cpu_hf_step_cg_iters=baselines.get(
+                "torch_cpu_hf_step_cg_iters"
+            ),
+        )
     if step_sec is not None:
         out.update(
             hf_step_ms=round(step_sec * 1e3, 2),
             hf_step_cg_iters=step_iters,
-            hf_step_vs_torch_cpu=round(step_base / step_sec, 2),
         )
+        if step_base:
+            out["hf_step_vs_torch_cpu"] = round(
+                float(step_base) / step_sec, 2
+            )
     print(json.dumps(out))

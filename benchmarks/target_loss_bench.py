@@ -107,14 +107,16 @@ for seed in range(NUM_SEEDS):
         out = loop(params, init_state(ravel, config), batches)
         _ = float(ravel.ravel(out[0])[0])
         return out[2]
-    stats = run_once()  # compile on first seed
-    t0 = time.perf_counter()
-    stats = run_once()
-    total = time.perf_counter() - t0
     if ms_per_step is None:
+        run_once()  # compile (first seed only; later seeds hit the cache)
+        t0 = time.perf_counter()
+        stats = run_once()
+        total = time.perf_counter() - t0
         ms_per_step = total / STEPS * 1e3
         print(f"sustained: {total:.2f}s for {STEPS} steps = "
               f"{ms_per_step:.1f} ms/step", flush=True)
+    else:
+        stats = run_once()
     per_seed_losses.append([float(v) for v in stats.init_loss])
 
 for tgt in TARGETS:

@@ -67,7 +67,13 @@ def parse_data_dir():
     like DeepOBS) and ``<dir>/train_y.npy`` -- integer ``[N]`` class labels.
     """
     if "--data" in sys.argv:
-        d = sys.argv[sys.argv.index("--data") + 1]
+        i = sys.argv.index("--data")
+        if i + 1 >= len(sys.argv):
+            raise SystemExit(
+                "--data needs a directory argument (containing "
+                "train_x.npy [N,H,W,C] float32 + train_y.npy [N] int)"
+            )
+        d = sys.argv[i + 1]
         for f in ("train_x.npy", "train_y.npy"):
             if not os.path.exists(os.path.join(d, f)):
                 raise FileNotFoundError(
@@ -95,7 +101,9 @@ def real_batch_stream(data_dir, batch_size, sharding=None, seed=0):
         batch_size,
         seed=seed,
     )
-    return DevicePrefetcher(loader, sharding=sharding)
+    # close_source: closing the prefetcher also shuts the native loader's
+    # threads/mmap handles down (the stream owns the whole pipeline).
+    return DevicePrefetcher(loader, sharding=sharding, close_source=True)
 
 
 def report(step_idx, opt):

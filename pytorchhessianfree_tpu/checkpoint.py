@@ -54,23 +54,34 @@ def save(path: str, params: Any, state: HFState, history: Optional[dict] = None)
 
 
 def restore(path: str) -> Tuple[Any, HFState, dict]:
-    """Restore an Orbax checkpoint saved by :func:`save`."""
+    """Restore an Orbax checkpoint saved by :func:`save`.
+
+    Also reads the pre-round-3 legacy layout (the whole tree saved at
+    ``path`` itself by the then-used ``PyTreeCheckpointer``, history
+    embedded) so existing training runs stay resumable across the
+    layout migration.
+    """
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
-    ckpt = ocp.StandardCheckpointer()
-    tree = ckpt.restore(os.path.join(path, "tree"))
+    if os.path.isdir(os.path.join(path, "tree")):
+        ckpt = ocp.StandardCheckpointer()
+        tree = ckpt.restore(os.path.join(path, "tree"))
+        history = {}
+        hpath = os.path.join(path, "history.json")
+        if os.path.exists(hpath):
+            with open(hpath) as f:
+                history = json.load(f)
+    else:  # legacy layout
+        ckpt = ocp.PyTreeCheckpointer()
+        tree = ckpt.restore(path)
+        history = dict(tree.get("history", {}))
     s = tree["state"]
     state = HFState(
         x0=jnp.asarray(s["x0"]),
         damping=jnp.asarray(s["damping"]),
         step_count=jnp.asarray(s["step_count"], jnp.int32),
     )
-    history = {}
-    hpath = os.path.join(path, "history.json")
-    if os.path.exists(hpath):
-        with open(hpath) as f:
-            history = json.load(f)
     return tree["params"], state, history
 
 

@@ -821,6 +821,10 @@ def hf_acc_step(
     (unrolled at trace time).  Like the reference, every CG iteration
     re-derives the curvature products chunk by chunk; the preferred
     large-scale path on TPU is the data-parallel mesh in ``parallel/``.
+
+    ``config.matmul_precision`` applies to the whole accumulated step
+    (gradient, curvature products and trial evaluations), matching
+    :func:`hf_step`.
     """
     from . import accumulate as acc
 
@@ -836,34 +840,37 @@ def hf_acc_step(
     if mvp_data is None:
         mvp_data = loss_data
 
-    init_loss = acc.acc_loss(fns, params, loss_data, reduction)
-    grad_vec = acc.acc_grad(fns, params, grad_data, reduction, ravel)
-    mvp_vec = acc.make_acc_mvp(
-        fns, config, params, mvp_data, reduction, ravel,
-        amortize=mvp_amortize,
-    )
-
-    if M is None and precond_diag is not None:
-        M = diag_to_preconditioner(
-            precond_diag, state.damping, precond_exponent
+    with config_mod.precision_ctx(config):
+        init_loss = acc.acc_loss(fns, params, loss_data, reduction)
+        grad_vec = acc.acc_grad(fns, params, grad_data, reduction, ravel)
+        mvp_vec = acc.make_acc_mvp(
+            fns, config, params, mvp_data, reduction, ravel,
+            amortize=mvp_amortize,
         )
 
-    def loss_at(delta):
-        return acc.acc_loss(fns, ravel.add(params, delta), loss_data, reduction)
+        if M is None and precond_diag is not None:
+            M = diag_to_preconditioner(
+                precond_diag, state.damping, precond_exponent
+            )
 
-    return _step_core(
-        config,
-        ravel,
-        params,
-        state,
-        init_loss=init_loss,
-        grad_vec=grad_vec,
-        mvp_vec=mvp_vec,
-        loss_at=loss_at,
-        M=M,
-        shard_vec=shard_vec,
-        shard_buf=shard_buf,
-    )
+        def loss_at(delta):
+            return acc.acc_loss(
+                fns, ravel.add(params, delta), loss_data, reduction
+            )
+
+        return _step_core(
+            config,
+            ravel,
+            params,
+            state,
+            init_loss=init_loss,
+            grad_vec=grad_vec,
+            mvp_vec=mvp_vec,
+            loss_at=loss_at,
+            M=M,
+            shard_vec=shard_vec,
+            shard_buf=shard_buf,
+        )
 
 
 def make_hf_acc_step(
@@ -1538,28 +1545,29 @@ class HessianFree:
         With ``mesh=``, the per-sample gradients are computed with the batch
         sharded over the data axis (``parallel.dp_diag_EF``).
         """
-        if (
-            self.mesh is not None
-            and self._data_axis in self.mesh.axis_names
-            and not use_scan
-        ):
-            from .parallel.data_parallel import dp_diag_EF
+        with config_mod.precision_ctx(self.config):
+            if (
+                self.mesh is not None
+                and self._data_axis in self.mesh.axis_names
+                and not use_scan
+            ):
+                from .parallel.data_parallel import dp_diag_EF
 
-            return dp_diag_EF(
-                self.fns, self.params, inputs, targets, reduction,
-                self.ravel, self.mesh, axis_name=self._data_axis,
+                return dp_diag_EF(
+                    self.fns, self.params, inputs, targets, reduction,
+                    self.ravel, self.mesh, axis_name=self._data_axis,
+                )
+            fn = diag_EF_scan if use_scan else diag_EF
+            return fn(
+                self.fns.model_fn,
+                self.fns.loss_outer,
+                self.params,
+                inputs,
+                targets,
+                reduction,
+                self.ravel,
+                loss_reg=self.fns.loss_reg,
             )
-        fn = diag_EF_scan if use_scan else diag_EF
-        return fn(
-            self.fns.model_fn,
-            self.fns.loss_outer,
-            self.params,
-            inputs,
-            targets,
-            reduction,
-            self.ravel,
-            loss_reg=self.fns.loss_reg,
-        )
 
     # -- self-tests ----------------------------------------------------------
     def test_reduction(self, datalist, reduction: str) -> None:

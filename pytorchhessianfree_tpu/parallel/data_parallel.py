@@ -338,7 +338,10 @@ def _dp_diag_jit(fns, reduction, ravel, repl):
     cache = getattr(ravel, "_dp_diag_cache", None)
     if cache is None:
         cache = ravel._dp_diag_cache = {}
-    key = (fns, reduction, repl)
+    # The ambient matmul precision (precision_ctx) is captured at trace
+    # time, so it must be part of the cache key.
+    prec = getattr(jax.config, "jax_default_matmul_precision", None)
+    key = (fns, reduction, repl, prec)
     compute = cache.get(key)
     if compute is not None:
         return compute

@@ -41,6 +41,10 @@ class DevicePrefetcher:
         n_batches: stop after this many batches (``None`` = run until the
             source is exhausted or :meth:`close` is called).  Useful for
             epoch-bounded loops over the endless ``PrefetchLoader`` stream.
+        close_source: if True, :meth:`close` also calls ``source.close()``
+            (ownership transfer) -- so e.g. a ``PrefetchLoader``'s native
+            threads and mmap handles are released with the prefetcher
+            instead of lingering until GC.
     """
 
     _SENTINEL = object()
@@ -51,10 +55,12 @@ class DevicePrefetcher:
         depth: int = 2,
         sharding: Optional[Any] = None,
         n_batches: Optional[int] = None,
+        close_source: bool = False,
     ):
         if depth < 1:
             raise ValueError(f"Invalid depth {depth}")
         self._source = source
+        self._close_source = close_source
         self._sharding = sharding
         self._n_batches = n_batches
         self._q: "queue.Queue[Any]" = queue.Queue(maxsize=depth)
@@ -113,7 +119,13 @@ class DevicePrefetcher:
                 item = self._q.get(timeout=0.1)
             except queue.Empty:
                 if self._stop.is_set():
+                    # close() raced the worker: surface a stored source
+                    # error NOW (never after a StopIteration was already
+                    # raised -- the failure must not look like clean
+                    # exhaustion even transiently).
                     self._done = True
+                    if self._err is not None:
+                        raise self._err
                     raise StopIteration
                 continue
             if item is self._SENTINEL:
@@ -132,7 +144,8 @@ class DevicePrefetcher:
         return self._err
 
     def close(self):
-        """Stop the background thread and release queued buffers."""
+        """Stop the background thread and release queued buffers (and the
+        source too, with ``close_source=True``)."""
         self._stop.set()
         try:
             while True:
@@ -141,6 +154,10 @@ class DevicePrefetcher:
             pass
         if self._thread.is_alive():
             self._thread.join(timeout=5.0)
+        if self._close_source:
+            close = getattr(self._source, "close", None)
+            if close is not None:
+                close()
 
     def __enter__(self):
         return self

@@ -1312,6 +1312,8 @@ class HessianFree:
         precond_diag: Optional[jax.Array] = None,
         test_deterministic: bool = False,
         M: Optional[Callable[[jax.Array], jax.Array]] = None,
+        grad_vec: Optional[jax.Array] = None,
+        mvp: Optional[Callable[[jax.Array], jax.Array]] = None,
     ) -> float:
         """One update step on ``batch``; returns the final mini-batch loss
         (reference optimizer.py:126-363).
@@ -1321,6 +1323,13 @@ class HessianFree:
         step is cached per closure object; prefer ``precond_diag`` (one
         compiled program for any diagonal) when the preconditioner is
         diagonal.  Not combinable with ``mesh=``.
+
+        ``grad_vec`` / ``mvp``: user-supplied flat gradient / curvature
+        matvec closure overriding the derived quantities -- the
+        reference's ``step(grad=..., mvp=...)`` arguments (reference
+        optimizer.py:129-131).  ``grad_vec`` is a dynamic operand (one
+        compiled program for any vector); ``mvp`` is jitted per closure
+        object like ``M``.  Single-device/DP only, like ``M``.
         """
         if test_deterministic:
             res = check_deterministic(
@@ -1334,29 +1343,47 @@ class HessianFree:
                     f"({res}). CG's quadratic model assumes a fixed batch "
                     "and deterministic model."
                 )
-        if M is not None:
-            if precond_diag is not None:
+        if M is not None or mvp is not None or grad_vec is not None:
+            if M is not None and precond_diag is not None:
                 raise ValueError("Pass either M or precond_diag, not both.")
             if self.mesh is not None:
                 raise ValueError(
-                    "Custom M closures are not supported with mesh=; use "
-                    "the functional hf_step with shard hooks instead."
+                    "Custom M/grad/mvp closures are not supported with "
+                    "mesh=; use the functional hf_step with shard hooks "
+                    "instead."
                 )
-            def _build_m_step():
+
+            def _build_custom_step():
                 fns, config, ravel = self.fns, self.config, self.ravel
 
-                @jax.jit
-                def _m_step(params, state, batch):
+                @functools.partial(
+                    jax.jit, static_argnames=("use_gv", "use_precond")
+                )
+                def _c_step(params, state, batch, gv, use_gv,
+                            precond_diag, use_precond):
                     return hf_step(
                         params, state, batch, fns=fns, config=config,
                         ravel=ravel, M=M,
+                        precond_diag=(precond_diag if use_precond
+                                      else None),
+                        precond_exponent=config.precond_exponent,
+                        grad_vec=gv if use_gv else None, mvp_vec=mvp,
                     )
 
-                return _m_step
+                return _c_step
 
-            m_step = self._cached_step(("M", id(M)), _build_m_step)
-            self.params, self.state, stats = m_step(
-                self.params, self.state, batch
+            key = (
+                "custom",
+                id(M) if M is not None else None,
+                id(mvp) if mvp is not None else None,
+            )
+            c_step = self._cached_step(key, _build_custom_step)
+            gv = (grad_vec if grad_vec is not None
+                  else jnp.zeros((1,), self.ravel.dtype))
+            pd, use_precond = precond_arg(precond_diag, self.ravel)
+            self.params, self.state, stats = c_step(
+                self.params, self.state, batch, gv,
+                grad_vec is not None, pd, use_precond,
             )
             return self._record(stats)
         self.params, self.state, stats = self._step(

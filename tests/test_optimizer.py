@@ -505,12 +505,21 @@ def test_matmul_precision_knob():
     y = jax.random.normal(jax.random.PRNGKey(2), (8, 3), jnp.float32)
     fns = HFModelFns(model_fn=mlp_apply, loss_outer=mse_loss)
     ravel = TrainableRavel(params)
+    from pytorchhessianfree_tpu import make_hf_acc_step
+
     for prec in (None, "default", "highest"):
         config = HFConfig(damping=0.5, cg_max_iter=5,
                           matmul_precision=prec)
         step = make_hf_step(fns, config, ravel)
         p, s, st = step(params, init_state(ravel, config), (x, y))
         assert np.isfinite(float(st.final_loss))
+    # the accumulation path threads the knob too (r3 review finding #1)
+    config = HFConfig(damping=0.5, cg_max_iter=5,
+                      matmul_precision="highest")
+    acc = make_hf_acc_step(fns, config, ravel, "mean")
+    p, s, st = acc(params, init_state(ravel, config),
+                   [(x[:4], y[:4]), (x[4:], y[4:])])
+    assert np.isfinite(float(st.final_loss))
     with pytest.raises(ValueError, match="matmul_precision"):
         HFConfig(matmul_precision="bf16-ish")
 

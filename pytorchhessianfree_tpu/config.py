@@ -165,6 +165,13 @@ class HFConfig:
     # CG vector arithmetic stay in the parameter dtype.  CG tolerates modest
     # matvec noise (the damping absorbs it); None = full precision.
     curvature_dtype: Optional[str] = None
+    # Rematerialization: wrap the model forward in jax.checkpoint so the
+    # linearization/VJP residuals are recomputed instead of stored --
+    # trades FLOPs for activation memory (the standard TPU lever for
+    # activation-bound models at large batch; see DESIGN.md's measured
+    # regimes).  Numerics identical; wall-clock rises by roughly one
+    # forward recompute per gradient/matvec.
+    remat: bool = False
     # MXU multiplier precision for every matmul/conv traced inside the step
     # (None = XLA default).  Measured on a v5e (benchmarks/
     # cost_analysis_probe.py --big, ResNet-18 b512 matvec chain): the

@@ -431,6 +431,18 @@ def _step_core(
     return new_params, new_state, stats
 
 
+def _maybe_remat(fns: HFModelFns, config: HFConfig) -> HFModelFns:
+    """Apply ``config.remat``: checkpoint the model forward (resp.
+    ``loss_fn``) so autodiff residuals are recomputed, not stored."""
+    if not config.remat:
+        return fns
+    if fns.loss_fn is not None:
+        fns = fns._replace(loss_fn=jax.checkpoint(fns.loss_fn))
+    if fns.model_fn is not None:
+        fns = fns._replace(model_fn=jax.checkpoint(fns.model_fn))
+    return fns
+
+
 def _build_matvec_and_grad(
     fns: HFModelFns, config: HFConfig, ravel: TrainableRavel, params, batch
 ):
@@ -444,7 +456,13 @@ def _build_matvec_and_grad(
     When ``config.curvature_dtype`` is set, the matvec runs through a
     reduced-precision cast of the model (bf16 on the MXU) while the loss and
     gradient stay full precision.
+
+    When ``config.remat`` is set, the model forward (resp. ``loss_fn``) is
+    wrapped in ``jax.checkpoint``: linearization/VJP residuals are
+    recomputed instead of stored -- activation memory traded for FLOPs,
+    identical numerics.
     """
+    fns = _maybe_remat(fns, config)
     cdtype = (
         jnp.dtype(config.curvature_dtype)
         if config.curvature_dtype is not None
@@ -840,6 +858,7 @@ def hf_acc_step(
     if mvp_data is None:
         mvp_data = loss_data
 
+    fns = _maybe_remat(fns, config)
     with config_mod.precision_ctx(config):
         init_loss = acc.acc_loss(fns, params, loss_data, reduction)
         grad_vec = acc.acc_grad(fns, params, grad_data, reduction, ravel)

@@ -578,3 +578,43 @@ def test_wrapper_custom_grad_and_mvp_injection():
         np.testing.assert_allclose(np.asarray(a_leaf), np.asarray(b_leaf),
                                    rtol=1e-12, atol=1e-12)
     assert opt_a.history["num_cg_iters"] == opt_b.history["num_cg_iters"]
+
+
+@pytest.mark.parametrize("curvature_opt", ["ggn", "hessian"])
+def test_remat_identical_trajectory(curvature_opt):
+    """config.remat=True (jax.checkpoint around the model forward) trades
+    memory for recompute with IDENTICAL numerics: same params, same CG
+    iteration counts, step and acc_step."""
+    from pytorchhessianfree_tpu import hf_acc_step, hf_step, init_state
+
+    key = jax.random.PRNGKey(0)
+    params = init_mlp(key, dtype=jnp.float64)
+    fns = HFModelFns(model_fn=mlp_apply, loss_outer=mse_loss)
+    ravel = TrainableRavel(params)
+    x = jax.random.normal(jax.random.PRNGKey(1), (12, 7), jnp.float64)
+    y = jax.random.normal(jax.random.PRNGKey(2), (12, 3), jnp.float64)
+
+    base = HFConfig(damping=0.5, cg_max_iter=10, curvature_opt=curvature_opt)
+    rem = HFConfig(damping=0.5, cg_max_iter=10, curvature_opt=curvature_opt,
+                   remat=True)
+
+    p_a, s_a, st_a = hf_step(params, init_state(ravel, base), (x, y),
+                             fns=fns, config=base, ravel=ravel)
+    p_b, s_b, st_b = hf_step(params, init_state(ravel, rem), (x, y),
+                             fns=fns, config=rem, ravel=ravel)
+    assert int(st_a.num_cg_iters) == int(st_b.num_cg_iters)
+    for a, b in zip(jax.tree_util.tree_leaves(p_a),
+                    jax.tree_util.tree_leaves(p_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-12, atol=1e-12)
+
+    data = [(x[:6], y[:6]), (x[6:], y[6:])]
+    pa, _, sa = hf_acc_step(params, init_state(ravel, base), fns=fns,
+                            config=base, ravel=ravel, loss_data=data)
+    pb, _, sb = hf_acc_step(params, init_state(ravel, rem), fns=fns,
+                            config=rem, ravel=ravel, loss_data=data)
+    assert int(sa.num_cg_iters) == int(sb.num_cg_iters)
+    for a, b in zip(jax.tree_util.tree_leaves(pa),
+                    jax.tree_util.tree_leaves(pb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-12, atol=1e-12)

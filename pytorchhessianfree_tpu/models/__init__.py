@@ -13,7 +13,13 @@ from .mlp import (
     mse_per_sample,
 )
 from .resnet import init_resnet18, resnet18_apply
-from .transformer import init_transformer, transformer_apply
+from .transformer import (
+    decoder_lm_apply,
+    init_decoder_lm,
+    init_transformer,
+    next_token_loss,
+    transformer_apply,
+)
 from .targetfunc import (
     quadratic_problem,
     rosenbrock,
@@ -38,6 +44,9 @@ __all__ = [
     "resnet18_apply",
     "init_transformer",
     "transformer_apply",
+    "init_decoder_lm",
+    "decoder_lm_apply",
+    "next_token_loss",
     "quadratic_problem",
     "rosenbrock",
     "rosenbrock_problem",

@@ -72,6 +72,142 @@ def test_transformer_trains_with_hf():
     assert all(np.isfinite(v) for v in losses)
 
 
+def test_transformer_scan_layers_bit_identical():
+    """scan_layers stacks the block weights and lax.scans one traced block;
+    same ops per layer in the same order as the unrolled Python loop, so
+    forward, gradient, and GGN matvec must agree to f64 ulp-level tolerance
+    (XLA fuses the two programs differently, so exact bit-equality is not
+    guaranteed; observed drift is ~1e-15)."""
+    from pytorchhessianfree_tpu.ops.curvature import ggnvp_fn
+    from pytorchhessianfree_tpu.models import (
+        init_transformer,
+        transformer_apply,
+    )
+
+    key = jax.random.PRNGKey(3)
+    params = init_transformer(
+        key, vocab=16, d_model=16, n_layers=3, d_ff=32, num_classes=4,
+        max_len=10, dtype=jnp.float64,
+    )
+    tokens = jax.random.randint(key, (4, 10), 0, 16)
+    labels = jax.random.randint(jax.random.fold_in(key, 1), (4,), 0, 4)
+
+    out_scan = transformer_apply(params, tokens, scan_layers=True)
+    out_unroll = transformer_apply(params, tokens, scan_layers=False)
+    np.testing.assert_allclose(np.asarray(out_scan),
+                               np.asarray(out_unroll),
+                               rtol=1e-12, atol=1e-14)
+
+    results = {}
+    for scan in (True, False):
+        loss, _, grad, gv = ggnvp_fn(
+            lambda p: transformer_apply(p, tokens, scan_layers=scan),
+            lambda o: cross_entropy_loss(o, labels),
+            params,
+        )
+        v = jax.tree_util.tree_map(jnp.ones_like, params)
+        results[scan] = (loss, grad, gv(v))
+    np.testing.assert_allclose(results[True][0], results[False][0],
+                               rtol=1e-13)
+    for a, b in zip(jax.tree_util.tree_leaves(results[True][1:]),
+                    jax.tree_util.tree_leaves(results[False][1:])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-12, atol=1e-12)
+
+
+def test_transformer_remat_matches():
+    """remat=True (per-layer jax.checkpoint inside the scan) changes memory
+    scheduling, not math: forward and gradient match the plain scan."""
+    from pytorchhessianfree_tpu.models import (
+        init_transformer,
+        transformer_apply,
+    )
+
+    key = jax.random.PRNGKey(5)
+    params = init_transformer(
+        key, vocab=16, d_model=16, n_layers=2, d_ff=32, num_classes=4,
+        max_len=8, dtype=jnp.float64,
+    )
+    tokens = jax.random.randint(key, (4, 8), 0, 16)
+    labels = jax.random.randint(jax.random.fold_in(key, 1), (4,), 0, 4)
+
+    def loss_of(p, remat):
+        out = transformer_apply(p, tokens, remat=remat)
+        return cross_entropy_loss(out, labels)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss_of(p, False))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss_of(p, True))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-14)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-12, atol=1e-12)
+
+
+def test_decoder_lm_shapes_and_causality():
+    """The causal LM emits per-position logits, and position t's logits must
+    not depend on tokens at positions > t (strict causal mask)."""
+    from pytorchhessianfree_tpu.models import decoder_lm_apply, init_decoder_lm
+
+    key = jax.random.PRNGKey(0)
+    params = init_decoder_lm(key, vocab=16, d_model=16, n_layers=2,
+                             d_ff=32, max_len=10)
+    tokens = jax.random.randint(key, (3, 10), 0, 16)
+    logits = decoder_lm_apply(params, tokens)
+    assert logits.shape == (3, 10, 16)
+
+    # perturb the LAST token; logits at positions < T-1 must be unchanged
+    perturbed = tokens.at[:, -1].set((tokens[:, -1] + 1) % 16)
+    logits_p = decoder_lm_apply(params, perturbed)
+    np.testing.assert_array_equal(
+        np.asarray(logits[:, :-1]), np.asarray(logits_p[:, :-1])
+    )
+    # tied head: no separate head matrix, embed is reused
+    assert "head" not in params
+    n_untied = sum(
+        a.size
+        for a in jax.tree_util.tree_leaves(
+            init_decoder_lm(key, vocab=16, d_model=16, n_layers=2,
+                            d_ff=32, max_len=10, tied_head=False)
+        )
+    )
+    n_tied = sum(a.size for a in jax.tree_util.tree_leaves(params))
+    assert n_untied > n_tied
+
+
+def test_decoder_lm_trains_with_hf():
+    """Next-token HF training: the loss spans the sequence axis (every
+    position contributes a softmax GGN block), exercising curvature through
+    the causal-attention chain.  Task: sequences follow tok[t+1] =
+    (tok[t] + 1) % vocab, fully learnable."""
+    import functools
+
+    from pytorchhessianfree_tpu.models import (
+        decoder_lm_apply,
+        init_decoder_lm,
+        next_token_loss,
+    )
+
+    key = jax.random.PRNGKey(0)
+    vocab, T = 12, 9
+    params = init_decoder_lm(key, vocab=vocab, d_model=16, n_layers=2,
+                             d_ff=32, max_len=T)
+    start = jax.random.randint(key, (24, 1), 0, vocab)
+    tokens = (start + jnp.arange(T)[None, :]) % vocab
+
+    opt = HessianFree(
+        params,
+        model_fn=functools.partial(decoder_lm_apply, n_heads=4),
+        loss_outer=next_token_loss,
+        damping=1.0,
+        cg_max_iter=30,
+    )
+    # batch = (inputs, targets): the loss reads the raw tokens as targets
+    losses = [opt.step((tokens, tokens)) for _ in range(6)]
+    assert losses[-1] < 0.3 * opt.history["init_losses"][0]
+    assert all(np.isfinite(v) for v in losses)
+
+
 def test_tiny_convnet_trains_with_hf():
     """A reduced All-CNN-C-style net must decrease its loss under the full HF
     pipeline -- the 'one conv model running end-to-end' smoke for CI."""

@@ -49,8 +49,13 @@ def save(path: str, params: Any, state: HFState, history: Optional[dict] = None)
     # StandardCheckpointer saves asynchronously; block until the atomic
     # rename lands so the checkpoint is durable when save() returns.
     ckpt.wait_until_finished()
-    with open(os.path.join(path, "history.json"), "w") as f:
+    # history.json is written atomically (temp + os.replace) so a crash
+    # here can never leave a valid tree paired with a torn history file.
+    hpath = os.path.join(path, "history.json")
+    tmp = hpath + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(history or {}, f)
+    os.replace(tmp, hpath)
 
 
 def restore(path: str) -> Tuple[Any, HFState, dict]:
@@ -72,6 +77,18 @@ def restore(path: str) -> Tuple[Any, HFState, dict]:
         if os.path.exists(hpath):
             with open(hpath) as f:
                 history = json.load(f)
+        else:
+            # save() always writes history.json (possibly {}); its absence
+            # means the checkpoint was torn by a crash mid-save -- surface
+            # that instead of silently restoring empty history.
+            import warnings
+
+            warnings.warn(
+                f"checkpoint at {path!r} has a tree but no history.json "
+                "(interrupted save?); restoring with empty history",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     else:  # legacy layout
         ckpt = ocp.PyTreeCheckpointer()
         tree = ckpt.restore(path)

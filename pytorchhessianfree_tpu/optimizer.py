@@ -1541,10 +1541,18 @@ class HessianFree:
 
         loop = self._cached_step(key, _build)
         if precond_ema_decay is not None:
-            self.params, self.state, stats, self._ema_state = loop(
+            # EMA state is keyed by decay: switching decay values
+            # mid-training must not continue from another decay's diagonal
+            # (each decay defines its own average). `_ema_state` mirrors the
+            # most recent one for introspection/tests.
+            states = getattr(self, "_ema_states", None)
+            if states is None:
+                states = self._ema_states = {}
+            self.params, self.state, stats, ema = loop(
                 self.params, self.state, batches,
-                getattr(self, "_ema_state", None),
+                states.get(precond_ema_decay),
             )
+            states[precond_ema_decay] = self._ema_state = ema
         else:
             self.params, self.state, stats = loop(
                 self.params, self.state, batches

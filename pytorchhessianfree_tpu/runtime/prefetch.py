@@ -66,6 +66,7 @@ class DevicePrefetcher:
         self._q: "queue.Queue[Any]" = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
         self._err: Optional[BaseException] = None
+        self._err_tb = None  # traceback at capture time (re-raise anchor)
         self._done = False  # sentinel consumed -> StopIteration forever
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
@@ -97,8 +98,16 @@ class DevicePrefetcher:
                     break
         except BaseException as e:  # surfaced on the consumer side
             self._err = e
+            self._err_tb = e.__traceback__
         finally:
             self._put(self._SENTINEL)
+
+    def _raise_err(self):
+        """Re-raise the sticky source error.  The traceback is reset to the
+        one captured in the worker on EVERY raise -- re-raising a shared
+        exception instance otherwise appends the consumer's frames to its
+        ``__traceback__`` on each poll, growing it without bound."""
+        raise self._err.with_traceback(self._err_tb)
 
     def __iter__(self):
         return self
@@ -112,7 +121,7 @@ class DevicePrefetcher:
         # cleanly exhausted one.
         if self._done:
             if self._err is not None:
-                raise self._err
+                self._raise_err()
             raise StopIteration
         while True:
             try:
@@ -125,13 +134,13 @@ class DevicePrefetcher:
                     # exhaustion even transiently).
                     self._done = True
                     if self._err is not None:
-                        raise self._err
+                        self._raise_err()
                     raise StopIteration
                 continue
             if item is self._SENTINEL:
                 self._done = True
                 if self._err is not None:
-                    raise self._err
+                    self._raise_err()
                 raise StopIteration
             return item
 
@@ -155,9 +164,24 @@ class DevicePrefetcher:
         if self._thread.is_alive():
             self._thread.join(timeout=5.0)
         if self._close_source:
-            close = getattr(self._source, "close", None)
-            if close is not None:
-                close()
+            if self._thread.is_alive():
+                # Worker is still blocked inside the source (e.g. a native
+                # next_batch call).  Closing the source now could free
+                # native handles under it (use-after-free); leave it to the
+                # source's own __del__/GC path instead.
+                import warnings
+
+                warnings.warn(
+                    "DevicePrefetcher.close(): worker thread did not stop "
+                    "within 5s; skipping source.close() to avoid freeing "
+                    "native handles still in use",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+            else:
+                close = getattr(self._source, "close", None)
+                if close is not None:
+                    close()
 
     def __enter__(self):
         return self

@@ -77,6 +77,28 @@ def test_checkpoint_roundtrip_continues_identically(backend):
     assert float(stats1.final_loss) == float(stats2.final_loss)
 
 
+def test_restore_warns_on_missing_history(tmp_path):
+    """save() always writes history.json (atomically); a tree without one
+    means the save was torn -- restore surfaces a warning instead of
+    silently returning empty history."""
+    import warnings
+
+    params, config, ravel, step, batch = _setup()
+    state = init_state(ravel, config)
+    path = os.path.join(str(tmp_path), "ckpt")
+    save(path, params, state, {"init_losses": [1.0]})
+    assert os.path.exists(os.path.join(path, "history.json"))
+    assert not os.path.exists(
+        os.path.join(path, "history.json.tmp")
+    )  # atomic write left no temp file
+    os.remove(os.path.join(path, "history.json"))  # simulate torn save
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _, _, hist = restore(path)
+    assert hist == {}
+    assert any("interrupted save" in str(x.message) for x in w)
+
+
 def test_npz_leaf_count_mismatch():
     params, config, ravel, step, batch = _setup()
     state = init_state(ravel, config)

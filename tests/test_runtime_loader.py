@@ -205,6 +205,58 @@ def test_device_prefetcher_error_propagates():
     assert isinstance(pf.error, RuntimeError)
     pf.close()
     assert isinstance(pf.error, RuntimeError)
+    # repeated polls must NOT grow the shared exception's traceback (each
+    # re-raise resets to the worker-captured traceback)
+    import traceback
+
+    def tb_len():
+        try:
+            next(pf)
+        except RuntimeError as e:
+            return len(traceback.extract_tb(e.__traceback__))
+
+    first = tb_len()
+    for _ in range(5):
+        last = tb_len()
+    assert last == first
+
+
+def test_device_prefetcher_close_skips_source_close_when_worker_stuck():
+    """close(close_source=True) must NOT free the source while the worker
+    thread is still blocked inside it (native use-after-free hazard);
+    it warns and defers instead."""
+    import threading
+    import warnings
+
+    from pytorchhessianfree_tpu.runtime.prefetch import DevicePrefetcher
+
+    release = threading.Event()
+    closed = []
+
+    class BlockingSource:
+        def __iter__(self):
+            return self
+
+        def __next__(self):
+            release.wait()  # simulates a blocked native next_batch call
+            raise StopIteration
+
+        def close(self):
+            closed.append(True)
+
+    src = BlockingSource()
+    pf = DevicePrefetcher(src, depth=1, close_source=True)
+    # patch the join timeout down so the test doesn't sit for 5s
+    real_join = pf._thread.join
+    pf._thread.join = lambda timeout=None: real_join(timeout=0.2)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        pf.close()
+    assert closed == []  # source.close() was NOT called
+    assert any("skipping source.close" in str(x.message) for x in w)
+    release.set()  # unblock; worker exits, source closes via its own path
+    pf._thread.join = real_join
+    pf._thread.join(timeout=2.0)
 
 
 def test_many_threads_epoch_coverage():

@@ -278,6 +278,38 @@ def test_wrapper_train_steps_ema_carries_across_calls():
     assert all(np.isfinite(v) for v in opt.history["final_losses"])
 
 
+def test_wrapper_train_steps_ema_keyed_by_decay():
+    """Switching precond_ema_decay mid-training must NOT continue from the
+    other decay's EMA diagonal: each decay owns its own persisted state,
+    and returning to a previous decay resumes ITS state."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pytorchhessianfree_tpu import HessianFree
+    from pytorchhessianfree_tpu.models import init_mlp, mlp_apply
+    from pytorchhessianfree_tpu.models.mlp import mse_loss
+
+    key = jax.random.PRNGKey(0)
+    params = init_mlp(key, dtype=jnp.float64)
+    xs = jax.random.normal(jax.random.PRNGKey(1), (2, 12, 7), jnp.float64)
+    ys = jax.random.normal(jax.random.PRNGKey(2), (2, 12, 3), jnp.float64)
+
+    opt = HessianFree(params, model_fn=mlp_apply, loss_outer=mse_loss,
+                      damping=0.5, cg_max_iter=10, pad_to_multiple=None)
+    opt.train_steps((xs, ys), precond_ema_decay=0.9)
+    ema_09 = np.asarray(opt._ema_states[0.9][0]).copy()
+    # a different decay starts fresh (unseeded), not from 0.9's diagonal
+    opt.train_steps((xs, ys), precond_ema_decay=0.5)
+    assert 0.5 in opt._ema_states and 0.9 in opt._ema_states
+    np.testing.assert_array_equal(
+        np.asarray(opt._ema_states[0.9][0]), ema_09
+    )  # 0.9's state untouched by the 0.5 run
+    # returning to 0.9 resumes its own state (it keeps evolving)
+    opt.train_steps((xs, ys), precond_ema_decay=0.9)
+    assert not np.array_equal(np.asarray(opt._ema_states[0.9][0]), ema_09)
+
+
 def test_dp_train_loop_ema_matches_single_device():
     """make_dp_hf_train_loop with the EMA diag carry == the single-device
     EMA loop trajectory (the dryrun's n=2 fallback path, pinned in CI)."""

@@ -1,0 +1,228 @@
+"""Collective-volume audit of the multi-chip HF step programs.
+
+No hardware needed: the DP and 2-D (data x model) step programs are compiled
+for a virtual 8-device CPU mesh, and the optimized HLO is parsed for the
+collectives XLA actually inserted (all-reduce / all-gather / reduce-scatter /
+collective-permute), grouped by enclosing computation and flagged when that
+computation is a loop body (CG while_loop, trial walks).  Payload bytes come
+from the op output shapes.
+
+This turns SURVEY's "psum over ICI" promise into numbers: per-CG-iteration
+collective bytes, per-step fixed bytes, and (in docs/DESIGN.md, which quotes
+this script's output) a falsifiable ICI-time prediction for real multi-chip
+runs.
+
+Usage: python benchmarks/collective_audit.py [n_devices]
+"""
+
+import collections
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
+    os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_platforms", "cpu")
+
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from pytorchhessianfree_tpu import (
+    HFConfig,
+    HFModelFns,
+    TrainableRavel,
+    init_state,
+)
+from pytorchhessianfree_tpu.models import init_mlp, mlp_apply
+from pytorchhessianfree_tpu.models.mlp import mse_loss
+from pytorchhessianfree_tpu.optimizer import hf_step
+from pytorchhessianfree_tpu.parallel.mesh import make_mesh
+from pytorchhessianfree_tpu.parallel.sharded import _prepare
+
+_DTYPE_BYTES = {
+    "f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s64": 8, "s32": 4,
+    "u64": 8, "u32": 4, "s8": 1, "u8": 1, "pred": 1, "s16": 2, "u16": 2,
+}
+
+_SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
+_COLLECTIVES = (
+    "all-reduce", "all-gather", "reduce-scatter", "collective-permute",
+)
+
+
+def _shape_bytes(shape_str):
+    """Total bytes of an HLO shape string ('f32[100,2]' or a tuple of
+    them)."""
+    total = 0
+    for dtype, dims in _SHAPE_RE.findall(shape_str):
+        if dtype not in _DTYPE_BYTES:
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES[dtype]
+    return total
+
+
+def audit_hlo(hlo_text):
+    """Parse optimized HLO: collectives per computation + loop-body flags.
+
+    Returns ``(per_comp, loop_bodies)`` where per_comp maps computation name
+    -> list of (op_kind, payload_bytes, full_line) and loop_bodies is the
+    set of computation names used as while-loop bodies.
+    """
+    per_comp = collections.defaultdict(list)
+    loop_bodies = set()
+    comp = None
+    for line in hlo_text.splitlines():
+        stripped = line.strip()
+        # computation definitions start at column 0 and open a brace:
+        #   %region_0.31 (arg: (f32[...], ...)) -> (...) {
+        #   ENTRY %main.123 (...) -> (...) {
+        if line and not line[0].isspace() and stripped.endswith("{"):
+            m = re.match(r"(?:ENTRY\s+)?%?([\w\.\-]+)", stripped)
+            if m:
+                comp = m.group(1)
+            continue
+        bm = re.search(r"body=%?([\w\.\-]+)", stripped)
+        if bm and "while(" in stripped:
+            loop_bodies.add(bm.group(1))
+        for kind in _COLLECTIVES:
+            # op lines look like: %x = SHAPE all-reduce(...) where SHAPE may
+            # be a tuple "(f32[512], /*index=5*/ f32[1024], ...)" whose
+            # comments contain '='; locate the op token and take everything
+            # between the assignment and it as the shape string.
+            idx = -1
+            for token in (f" {kind}(", f" {kind}-start("):
+                idx = stripped.find(token)
+                if idx != -1:
+                    break
+            if idx == -1:
+                continue
+            eq = stripped.find("= ")
+            if eq == -1 or eq > idx:
+                continue
+            shape_str = stripped[eq + 2:idx]
+            per_comp[comp].append(
+                (kind, _shape_bytes(shape_str), stripped[:160])
+            )
+            break
+    return per_comp, loop_bodies
+
+
+def summarize(name, hlo_text, verbose=False):
+    per_comp, loop_bodies = audit_hlo(hlo_text)
+    groups = {}
+    for comp, ops in per_comp.items():
+        key = f"LOOP:{comp}" if comp in loop_bodies else "once-per-step"
+        g = groups.setdefault(
+            key, collections.defaultdict(lambda: [0, 0])
+        )
+        for kind, nbytes, line in ops:
+            g[kind][0] += 1
+            g[kind][1] += nbytes
+            if verbose:
+                print(f"    [{key}] {line}")
+    result = {
+        "program": name,
+        "collectives": {
+            key: {
+                kind: {"count": n, "payload_bytes": b}
+                for kind, (n, b) in sorted(g.items())
+            }
+            for key, g in sorted(groups.items())
+        },
+    }
+    return result
+
+
+def build_programs(n_devices=8):
+    """Lower + compile the DP and 2-D sharded HF step for a virtual mesh.
+
+    Mirrors make_dp_hf_step / make_sharded_hf_step's jit setup
+    (parallel/data_parallel.py:38-85, parallel/sharded.py:176-244) -- the
+    builders hide their jits in closures, so the audit reconstructs the
+    same sharding annotations explicitly.
+    """
+    key = jax.random.PRNGKey(0)
+    # a wider MLP so collective payloads are at realistic scale (~1.1M
+    # params -> 4.4 MB grad-sized all-reduces)
+    params = init_mlp(key, sizes=(256, 512, 1024, 512, 10))
+    fns = HFModelFns(model_fn=mlp_apply, loss_outer=mse_loss)
+    config = HFConfig(damping=1.0, cg_max_iter=50)
+    ravel = TrainableRavel(params, pad_to_multiple=1024)
+    x = jax.random.normal(key, (64, 256), jnp.float32)
+    y = jax.random.normal(key, (64, 10), jnp.float32)
+    state = init_state(ravel, config)
+
+    out = {}
+
+    # --- pure DP: batch sharded over 8, params/state replicated ---------
+    mesh = make_mesh(n_devices, axis_names=("data",))
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P("data"))
+    step = jax.jit(
+        functools.partial(hf_step, fns=fns, config=config, ravel=ravel),
+        out_shardings=repl,
+    )
+    args = (
+        jax.device_put(params, repl),
+        jax.device_put(state, repl),
+        (jax.device_put(x, shard), jax.device_put(y, shard)),
+    )
+    out[f"dp_{n_devices}"] = (
+        step.lower(*args).compile().as_text(),
+        ravel.dim,
+    )
+
+    # --- 2-D: data=2 x model=4, CG vectors sharded over model -----------
+    mesh2 = make_mesh(n_devices, axis_names=("data", "model"))
+    (
+        config2, use_data, repl2, vec_s, buf_s, shard_vec, shard_buf,
+        state_s,
+    ) = _prepare(config, ravel, mesh2, "data", "model")
+    batch_s = NamedSharding(mesh2, P("data"))
+    step2 = jax.jit(
+        functools.partial(
+            hf_step, fns=fns, config=config2, ravel=ravel,
+            shard_vec=shard_vec, shard_buf=shard_buf,
+        ),
+        out_shardings=(repl2, state_s, repl2),
+    )
+    args2 = (
+        jax.device_put(params, repl2),
+        jax.device_put(state, state_s),
+        (jax.device_put(x, batch_s), jax.device_put(y, batch_s)),
+    )
+    out["2d_data2_model4"] = (
+        step2.lower(*args2).compile().as_text(),
+        ravel.dim,
+    )
+    return out, mesh2
+
+
+def main(n_devices=8, verbose=False):
+    programs, mesh2 = build_programs(n_devices)
+    results = []
+    for name, (hlo, dim) in programs.items():
+        print(f"== {name} (flat dim {dim}) ==")
+        r = summarize(name, hlo, verbose=verbose)
+        results.append(r)
+        print(json.dumps(r, indent=1))
+    return results
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    main(n, verbose="-v" in sys.argv)

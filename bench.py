@@ -70,12 +70,16 @@ def measure_jax_matvecs_per_sec() -> float:
         return v / jnp.linalg.norm(v)
 
     float(chain(params, x, y, fresh_v(0))[0])  # compile + warmup
-    # Median of timed calls, each with a DISTINCT v0, each forced to
-    # completion by a host transfer of a result element (block_until_ready
-    # alone has been observed to return early through remote-execution
-    # relays, yielding microsecond-scale phantom timings).
+    # Median + spread over MANY timed calls, each with a DISTINCT v0, each
+    # forced to completion by a host transfer of a result element
+    # (block_until_ready alone has been observed to return early through
+    # remote-execution relays, yielding microsecond-scale phantom timings).
+    # The remote relay's run latency is bimodal (BENCH_DETAILS: ~2x swings
+    # between service phases); 15 repeats with an IQR dispersion field make
+    # a phase swing visible as spread instead of silently moving the
+    # point estimate (the r02->r03 -8.7% "regression" was this noise).
     times = []
-    for i in range(1, 4):
+    for i in range(1, 16):
         v0 = fresh_v(i)
         jax.block_until_ready(v0)
         t0 = time.perf_counter()
@@ -83,7 +87,22 @@ def measure_jax_matvecs_per_sec() -> float:
         _ = float(out[0])
         times.append(time.perf_counter() - t0)
     times.sort()
-    return NUM_MATVECS / times[len(times) // 2]
+    n = len(times)
+    median = times[n // 2]
+    q1, q3 = times[n // 4], times[(3 * n) // 4]
+    rates = {
+        "median": NUM_MATVECS / median,
+        # rate quartiles: fast time -> high rate, so q1 of time is q3 of rate
+        "q1": NUM_MATVECS / q3,
+        "q3": NUM_MATVECS / q1,
+        "min": NUM_MATVECS / times[-1],
+        "max": NUM_MATVECS / times[0],
+        "n": n,
+    }
+    rates["iqr_pct"] = round(
+        100.0 * (rates["q3"] - rates["q1"]) / rates["median"], 1
+    )
+    return rates
 
 
 def measure_jax_hf_step_seconds(cg_max_iter: int = 50):
@@ -125,14 +144,18 @@ def measure_jax_hf_step_seconds(cg_max_iter: int = 50):
     _ = float(stats.final_loss)
 
     times, iters = [], []
-    for _ in range(3):
+    for _ in range(7):
         t0 = time.perf_counter()
         params, state, stats = step(params, state, batch)
         _ = float(stats.final_loss)  # force completion via host transfer
         times.append(time.perf_counter() - t0)
         iters.append(int(stats.num_cg_iters))
-    times.sort()
-    return times[len(times) // 2], iters
+    ts = sorted(times)
+    spread_pct = round(
+        100.0 * (ts[(3 * len(ts)) // 4] - ts[len(ts) // 4])
+        / ts[len(ts) // 2], 1,
+    )
+    return ts[len(ts) // 2], iters, spread_pct
 
 
 def torch_baselines() -> dict:
@@ -171,16 +194,17 @@ def torch_baselines() -> dict:
 
 
 if __name__ == "__main__":
-    rate = measure_jax_matvecs_per_sec()
+    rates = measure_jax_matvecs_per_sec()
+    rate = rates["median"]
     # The step program's remote compile occasionally hits a slow service
     # phase; never let that lose the primary metric.
     try:
-        step_sec, step_iters = measure_jax_hf_step_seconds()
+        step_sec, step_iters, step_spread = measure_jax_hf_step_seconds()
     except Exception as e:  # pragma: no cover - service-dependent
         import sys
 
         print(f"hf-step measurement failed: {e!r}", file=sys.stderr)
-        step_sec, step_iters = None, None
+        step_sec, step_iters, step_spread = None, None, None
     try:
         baselines = torch_baselines()
     except Exception as e:  # pragma: no cover - environment-dependent
@@ -201,6 +225,17 @@ if __name__ == "__main__":
         "vs_baseline": (
             round(rate / float(mv_base), 2) if mv_base else None
         ),
+        # dispersion over the in-process repeats: the remote relay's run
+        # latency swings ~2x between service phases, so a point estimate
+        # alone can drift +/-10% round-to-round on an unchanged code path
+        "dispersion": {
+            "n_repeats": rates["n"],
+            "iqr_pct": rates["iqr_pct"],
+            "q1": round(rates["q1"], 2),
+            "q3": round(rates["q3"], 2),
+            "min": round(rates["min"], 2),
+            "max": round(rates["max"], 2),
+        },
     }
     if step_base:
         out.update(
@@ -213,6 +248,7 @@ if __name__ == "__main__":
         out.update(
             hf_step_ms=round(step_sec * 1e3, 2),
             hf_step_cg_iters=step_iters,
+            hf_step_iqr_pct=step_spread,
         )
         if step_base:
             out["hf_step_vs_torch_cpu"] = round(

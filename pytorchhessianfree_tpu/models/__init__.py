@@ -8,6 +8,7 @@ from .mlp import (
     freeze_first_layer,
     init_mlp,
     mlp_apply,
+    mlp_dropout_apply,
     mse_loss,
     mse_loss_sum,
     mse_per_sample,
@@ -38,6 +39,7 @@ __all__ = [
     "freeze_first_layer",
     "init_mlp",
     "mlp_apply",
+    "mlp_dropout_apply",
     "mse_loss",
     "mse_loss_sum",
     "init_resnet18",

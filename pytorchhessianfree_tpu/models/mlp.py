@@ -49,6 +49,36 @@ def mlp_apply(params: Any, x: jax.Array) -> jax.Array:
     return x @ layers[-1]["w"] + layers[-1]["b"]
 
 
+def mlp_dropout_apply(
+    params: Any, inputs: Any, rate: float = 0.1
+) -> jax.Array:
+    """MLP forward with dropout on the hidden activations, PRNG key **in the
+    batch**: ``inputs = (x, key)``.
+
+    This is the first-class stochastic-model pattern for HF: the key rides
+    in the batch pytree, so every evaluation inside one step -- the
+    gradient, every CG curvature matvec, every backtracking/line-search
+    trial forward -- sees the SAME dropout masks, and CG's fixed quadratic
+    model assumption holds.  Advance the key *between* steps (it's data,
+    like the batch itself).  The reference's answer to dropout was to
+    disable it ("consider calling model.eval()",
+    reference optimizer.py:406-409); fixing the key per step trains the
+    stochastic model instead.  A model that instead draws a fresh key per
+    forward is exactly what ``check_deterministic(fns_factory=...)``
+    flags as ``rng_invariant=False``.
+    """
+    x, key = inputs
+    layers = params["layers"]
+    keep = 1.0 - rate
+    for i, layer in enumerate(layers[:-1]):
+        x = jnp.tanh(x @ layer["w"] + layer["b"])
+        mask = jax.random.bernoulli(
+            jax.random.fold_in(key, i), keep, x.shape
+        )
+        x = jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+    return x @ layers[-1]["w"] + layers[-1]["b"]
+
+
 def mse_loss(outputs: jax.Array, targets: jax.Array) -> jax.Array:
     """MSELoss with mean reduction (the reference's default loss for the
     small-NN problems, reference tests/test_utils.py:46)."""

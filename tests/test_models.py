@@ -240,6 +240,81 @@ def test_tiny_convnet_trains_with_hf():
     assert all(np.isfinite(v) for v in losses)
 
 
+def test_dropout_mlp_trains_with_fixed_key_per_step():
+    """The POSITIVE stochastic-model path (the reference only advises
+    'consider calling model.eval()', reference optimizer.py:406-409): a
+    dropout MLP trains under full HF when the PRNG key rides in the batch
+    pytree -- one key per step, so gradient, every CG matvec, and every
+    trial forward share the same masks -- while the rethreaded variant of
+    the SAME model is flagged by check_deterministic."""
+    import functools
+
+    from pytorchhessianfree_tpu import (
+        HFConfig,
+        HFModelFns,
+        TrainableRavel,
+        check_deterministic,
+    )
+    from pytorchhessianfree_tpu.models import init_mlp, mlp_dropout_apply
+    from pytorchhessianfree_tpu.models.mlp import mse_loss
+
+    key = jax.random.PRNGKey(0)
+    params = init_mlp(key, sizes=(7, 16, 16, 3), dtype=jnp.float64)
+    kx, ky = jax.random.split(key)
+    x = jax.random.normal(kx, (32, 7), jnp.float64)
+    w_true = jax.random.normal(ky, (7, 3), jnp.float64)
+    y = jnp.tanh(x @ w_true)
+
+    opt = HessianFree(
+        params,
+        model_fn=functools.partial(mlp_dropout_apply, rate=0.1),
+        loss_outer=mse_loss,
+        damping=1.0,
+        cg_max_iter=25,
+        pad_to_multiple=None,
+    )
+    losses = []
+    for i in range(8):
+        step_key = jax.random.fold_in(jax.random.PRNGKey(42), i)
+        losses.append(opt.step(((x, step_key), y)))
+    assert losses[-1] < 0.5 * opt.history["init_losses"][0]
+    assert all(np.isfinite(v) for v in losses)
+
+    # same model, key fixed inside the closure instead of the batch:
+    # check_deterministic(fns_factory=...) flags it as stochastic
+    def rethreaded_factory(k):
+        return HFModelFns(
+            model_fn=lambda p, inp: mlp_dropout_apply(
+                p, (inp, k), rate=0.1
+            ),
+            loss_outer=mse_loss,
+        )
+
+    ravel = TrainableRavel(opt.params)
+    res = check_deterministic(
+        rethreaded_factory(jax.random.PRNGKey(1)),
+        HFConfig(damping=1.0),
+        ravel,
+        opt.params,
+        (x, y),
+        fns_factory=rethreaded_factory,
+    )
+    assert res["rng_invariant"] is False
+    # while the key-in-batch form is a pure function of (params, batch)
+    fns_fixed = HFModelFns(
+        model_fn=functools.partial(mlp_dropout_apply, rate=0.1),
+        loss_outer=mse_loss,
+    )
+    res2 = check_deterministic(
+        fns_fixed,
+        HFConfig(damping=1.0),
+        ravel,
+        opt.params,
+        ((x, jax.random.PRNGKey(5)), y),
+    )
+    assert res2["forward_deterministic"] and res2["mvp_deterministic"]
+
+
 def test_resnet18_width_scale():
     """width_scale shrinks every channel (same topology); forward shapes
     hold because the apply reads all shapes from the params."""

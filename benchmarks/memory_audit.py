@@ -1,0 +1,171 @@
+"""Predicted-vs-measured HBM audit of the HF step.
+
+Round-3 verdict: ``utils.memory.solver_memory_bytes`` was only ever tested
+against its own formula.  This harness closes the loop with two independent
+measurements:
+
+- ``jax.Device.memory_stats()['peak_bytes_in_use']`` sampled around real
+  steps on the chip (one config per process -- the peak counter is
+  monotonic per process);
+- ``compiled.memory_analysis()`` -- XLA's buffer assignment for the exact
+  program (argument/output/temp/alias bytes), which is what actually
+  determines OOM, and is available for sharded programs without hardware.
+
+Usage:
+  python benchmarks/memory_audit.py CONFIG        # one config, one process
+  python benchmarks/memory_audit.py list          # show configs
+
+Each run prints one JSON line: predicted solver bytes, XLA temp/total
+bytes, live peak bytes, step wall-clock.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from pytorchhessianfree_tpu import (
+    HFConfig,
+    HFModelFns,
+    TrainableRavel,
+    init_state,
+    make_hf_step,
+)
+from pytorchhessianfree_tpu.config import CGConfig
+from pytorchhessianfree_tpu.models import (
+    cross_entropy_loss,
+    init_mlp,
+    init_resnet18,
+    mlp_apply,
+    resnet18_apply,
+)
+from pytorchhessianfree_tpu.models.mlp import mse_loss
+from pytorchhessianfree_tpu.utils.memory import solver_memory_bytes
+
+
+def _resnet(batch, width=1.0, **cfg_kw):
+    key = jax.random.PRNGKey(0)
+    params = init_resnet18(
+        key, num_classes=10, in_channels=1, width_scale=width
+    )
+    fns = HFModelFns(model_fn=resnet18_apply, loss_outer=cross_entropy_loss)
+    kx, ky = jax.random.split(key)
+    x = jax.random.normal(kx, (batch, 28, 28, 1), jnp.float32)
+    y = jax.random.randint(ky, (batch,), 0, 10)
+    return params, fns, (x, y), cfg_kw
+
+
+def _bigmlp(batch, sizes, **cfg_kw):
+    key = jax.random.PRNGKey(0)
+    params = init_mlp(key, sizes=sizes)
+    fns = HFModelFns(model_fn=mlp_apply, loss_outer=mse_loss)
+    kx, ky = jax.random.split(key)
+    x = jax.random.normal(kx, (batch, sizes[0]), jnp.float32)
+    y = jax.random.normal(ky, (batch, sizes[-1]), jnp.float32)
+    return params, fns, (x, y), cfg_kw
+
+
+# Escalation ladder: resnet at growing batch/width, a params-heavy MLP,
+# and the rescue knobs applied to whatever OOMs.
+CONFIGS = {
+    "mlp_tiny": lambda: _bigmlp(16, (7, 5, 5, 3)),  # harness smoke config
+    "resnet_b32": lambda: _resnet(32),
+    "resnet_b512": lambda: _resnet(512),
+    "resnet_b2048": lambda: _resnet(2048),
+    "resnet_b2048_remat": lambda: _resnet(2048, remat=True),
+    "resnet_b4096": lambda: _resnet(4096),
+    "resnet_b4096_remat": lambda: _resnet(4096, remat=True),
+    "resnet_b8192_remat": lambda: _resnet(8192, remat=True),
+    "resnet_w2_b512": lambda: _resnet(512, width=2.0),
+    "resnet_w4_b256": lambda: _resnet(256, width=4.0),
+    "resnet_w4_b256_bf16grid": lambda: _resnet(
+        256, width=4.0, cg=CGConfig(store_dtype="bfloat16")
+    ),
+    # ~201M params: 6 f32 CG vectors alone = 4.8 GB
+    "mlp_200m": lambda: _bigmlp(256, (4096, 8192, 8192, 8192, 8192, 16)),
+    "mlp_200m_bf16grid": lambda: _bigmlp(
+        256, (4096, 8192, 8192, 8192, 8192, 16),
+        cg=CGConfig(store_dtype="bfloat16"),
+    ),
+    # ~470M params: 11 GB of f32 grid rows at cg50 -- needs every knob
+    "mlp_470m_bf16grid": lambda: _bigmlp(
+        128, (8192, 12288, 12288, 12288, 12288, 16),
+        cg=CGConfig(store_dtype="bfloat16"),
+    ),
+    "mlp_470m": lambda: _bigmlp(
+        128, (8192, 12288, 12288, 12288, 12288, 16)
+    ),
+}
+
+
+def run(name, cg_max_iter=50):
+    params, fns, batch, cfg_kw = CONFIGS[name]()
+    config = HFConfig(damping=1.0, cg_max_iter=cg_max_iter, **cfg_kw)
+    ravel = TrainableRavel(params, pad_to_multiple=1024)
+    n_params = ravel.dim
+    pred = solver_memory_bytes(ravel, config)
+
+    dev = jax.devices()[0]
+    out = {
+        "config": name,
+        "platform": dev.platform,
+        "flat_dim": n_params,
+        "predicted_solver_bytes": pred["total"],
+    }
+
+    step = make_hf_step(fns, config, ravel)
+    state = init_state(ravel, config)
+
+    jitted = jax.jit(step) if not hasattr(step, "lower") else step
+    try:
+        lowered = jitted.lower(params, state, batch)
+        compiled = lowered.compile()
+        ma = compiled.memory_analysis()
+        if ma is not None:
+            out["xla_memory"] = {
+                "argument_bytes": getattr(ma, "argument_size_in_bytes", None),
+                "output_bytes": getattr(ma, "output_size_in_bytes", None),
+                "temp_bytes": getattr(ma, "temp_size_in_bytes", None),
+                "alias_bytes": getattr(ma, "alias_size_in_bytes", None),
+                "generated_code_bytes": getattr(
+                    ma, "generated_code_size_in_bytes", None
+                ),
+            }
+    except Exception as e:
+        out["compile_error"] = repr(e)[:300]
+        print(json.dumps(out), flush=True)
+        return out
+
+    try:
+        t0 = time.perf_counter()
+        params2, state2, stats = compiled(params, state, batch)
+        _ = float(stats.final_loss)
+        out["compile_plus_first_step_s"] = round(time.perf_counter() - t0, 1)
+        t0 = time.perf_counter()
+        params2, state2, stats = compiled(params2, state2, batch)
+        _ = float(stats.final_loss)
+        out["step_s"] = round(time.perf_counter() - t0, 3)
+        out["cg_iters"] = int(stats.num_cg_iters)
+        ms = dev.memory_stats() or {}
+        out["live_peak_bytes"] = ms.get("peak_bytes_in_use")
+        out["live_bytes_in_use"] = ms.get("bytes_in_use")
+        out["hbm_limit_bytes"] = ms.get("bytes_limit")
+    except Exception as e:
+        out["run_error"] = repr(e)[:300]
+    print(json.dumps(out), flush=True)
+    return out
+
+
+if __name__ == "__main__":
+    if len(sys.argv) < 2 or sys.argv[1] == "list":
+        print(" ".join(CONFIGS))
+        sys.exit(0)
+    run(
+        sys.argv[1],
+        cg_max_iter=int(sys.argv[2]) if len(sys.argv) > 2 else 50,
+    )

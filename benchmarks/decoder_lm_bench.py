@@ -1,0 +1,176 @@
+"""Causal decoder LM evidence row: matvec/s, full-step ms, steps-to-target.
+
+The encoder-classifier transformer pools the sequence into one label; this
+workload's loss spans the sequence axis (a softmax GGN block at EVERY
+position), so the curvature path through causal attention does real
+per-position second-order work -- the standard evidence row for the
+"attention family" claim (VERDICT r3 #6).
+
+Task: affine next-token rule tok[t+1] = (a*tok[t] + b) mod V on a 1024-way
+vocab -- fully learnable, init loss ln(1024) ~ 6.93.
+
+Usage: python benchmarks/decoder_lm_bench.py [mode]
+  mode: "matvec" | "step" | "target" | "all" (default)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from pytorchhessianfree_tpu import (
+    HFConfig,
+    HFModelFns,
+    TrainableRavel,
+    init_state,
+    make_hf_step,
+)
+from pytorchhessianfree_tpu.models import (
+    decoder_lm_apply,
+    init_decoder_lm,
+    next_token_loss,
+)
+from pytorchhessianfree_tpu.ops.curvature import ggnvp_fn
+
+NUM_MATVECS = 50
+D_MODEL, LAYERS, D_FF, HEADS = 512, 6, 2048, 8
+VOCAB, T = 1024, 128
+BATCH = 32
+A, B = 37, 11  # affine rule coefficients (gcd(A, VOCAB)=1 -> a permutation)
+
+
+def make_batch(key, batch=BATCH):
+    start = jax.random.randint(key, (batch, 1), 0, VOCAB)
+    toks = [start[:, 0]]
+    for _ in range(T - 1):
+        toks.append((A * toks[-1] + B) % VOCAB)
+    tokens = jnp.stack(toks, axis=1).astype(jnp.int32)
+    return tokens, tokens  # (inputs, targets): loss reads raw tokens
+
+
+def setup():
+    key = jax.random.PRNGKey(0)
+    params = init_decoder_lm(
+        key, vocab=VOCAB, d_model=D_MODEL, n_heads=HEADS, n_layers=LAYERS,
+        d_ff=D_FF, max_len=T,
+    )
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
+    ravel = TrainableRavel(params, pad_to_multiple=1024)
+    fns = HFModelFns(
+        model_fn=lambda p, x: decoder_lm_apply(p, x, n_heads=HEADS),
+        loss_outer=next_token_loss,
+    )
+    print(
+        f"decoder LM {n_params / 1e6:.1f}M params (tied head), b{BATCH} "
+        f"seq{T}, platform {jax.devices()[0].platform}",
+        flush=True,
+    )
+    return params, ravel, fns
+
+
+def bench_matvec(params, ravel, fns):
+    tokens, targets = make_batch(jax.random.PRNGKey(1))
+
+    @jax.jit
+    def chain(params, v0):
+        _, _, _, gv = ggnvp_fn(
+            lambda p: fns.model_fn(p, tokens),
+            lambda o: next_token_loss(o, targets),
+            params,
+        )
+
+        def body(_, v):
+            w = ravel.ravel(gv(ravel.unravel(v)))
+            return w / jnp.linalg.norm(w)
+
+        return jax.lax.fori_loop(0, NUM_MATVECS, body, v0)
+
+    def fresh_v(i):
+        v = jax.random.normal(
+            jax.random.PRNGKey(100 + i), (ravel.dim,), jnp.float32
+        )
+        return v / jnp.linalg.norm(v)
+
+    t0 = time.perf_counter()
+    float(chain(params, fresh_v(0))[0])
+    print(f"matvec chain compile+warm {time.perf_counter() - t0:.1f}s",
+          flush=True)
+    times = []
+    for i in range(1, 6):
+        v0 = fresh_v(i)
+        jax.block_until_ready(v0)
+        t0 = time.perf_counter()
+        out = chain(params, v0)
+        _ = float(out[0])
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    rate = NUM_MATVECS / times[len(times) // 2]
+    print(
+        f"GGN matvecs (loss over all {T - 1} positions): {rate:.1f}/s "
+        f"({1000 / rate:.2f} ms each)",
+        flush=True,
+    )
+
+
+def bench_step(params, ravel, fns, n_steps=5):
+    config = HFConfig(damping=1.0, cg_max_iter=50)
+    step = make_hf_step(fns, config, ravel)
+    state = init_state(ravel, config)
+    batch = make_batch(jax.random.PRNGKey(2))
+    t0 = time.perf_counter()
+    params, state, stats = step(params, state, batch)
+    _ = float(stats.final_loss)
+    print(f"full-step compile+first {time.perf_counter() - t0:.1f}s "
+          f"(cg {int(stats.num_cg_iters)})", flush=True)
+    times, iters = [], []
+    for i in range(n_steps):
+        batch = make_batch(jax.random.fold_in(jax.random.PRNGKey(3), i))
+        t0 = time.perf_counter()
+        params, state, stats = step(params, state, batch)
+        _ = float(stats.final_loss)
+        times.append(time.perf_counter() - t0)
+        iters.append(int(stats.num_cg_iters))
+    times.sort()
+    print(
+        f"full HF step: {times[len(times) // 2] * 1e3:.1f} ms median "
+        f"(cg iters {iters})",
+        flush=True,
+    )
+
+
+def bench_target(params, ravel, fns, target=1.0, max_steps=30):
+    config = HFConfig(damping=1.0, cg_max_iter=50)
+    step = make_hf_step(fns, config, ravel)
+    state = init_state(ravel, config)
+    first = None
+    for i in range(max_steps):
+        batch = make_batch(jax.random.fold_in(jax.random.PRNGKey(7), i))
+        params, state, stats = step(params, state, batch)
+        loss = float(stats.init_loss)
+        if i == 0:
+            first = loss
+        print(f"  step {i}: loss {loss:.4f} -> "
+              f"{float(stats.final_loss):.4f} "
+              f"(cg {int(stats.num_cg_iters)})", flush=True)
+        if float(stats.final_loss) < target:
+            print(
+                f"steps to final-loss<{target}: {i + 1} "
+                f"(init {first:.3f})", flush=True,
+            )
+            return
+    print(f"target {target} not reached in {max_steps} steps", flush=True)
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "all"
+    params, ravel, fns = setup()
+    if mode in ("matvec", "all"):
+        bench_matvec(params, ravel, fns)
+    if mode in ("step", "all"):
+        bench_step(params, ravel, fns)
+    if mode in ("target", "all"):
+        bench_target(params, ravel, fns)

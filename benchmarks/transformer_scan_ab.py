@@ -14,7 +14,10 @@ side, making the scan win a lower bound.  Runtime calls are interleaved
 (fresh normalized v0 per call, host transfer forces completion).
 
 Usage: python benchmarks/transformer_scan_ab.py [n_layers] [mode]
-  mode: "chain" (default, matvec chain) or "step" (full HF step)
+  mode: "chain" (default, matvec chain A/B), "step" (full HF step A/B),
+        "cold-scan" / "cold-unroll" (ONE variant, cold process -- for
+        sampling the remote service's compile-time distribution, which is
+        bimodal enough that single A/Bs mislead)
 """
 
 import os
@@ -128,6 +131,24 @@ def main(n_layers=6, mode="chain"):
                 f"(cg {int(stats.num_cg_iters)})",
                 flush=True,
             )
+        return
+
+    if mode in ("cold-scan", "cold-unroll"):
+        scan = mode == "cold-scan"
+        chain = build_chain(params, ravel, tokens, labels, scan)
+        t0 = time.perf_counter()
+        float(chain(params, fresh_v(0))[0])
+        print(
+            f"COLD matvec-chain compile+warm scan_layers={scan}: "
+            f"{time.perf_counter() - t0:.1f}s",
+            flush=True,
+        )
+        v0 = fresh_v(1)
+        jax.block_until_ready(v0)
+        t0 = time.perf_counter()
+        float(chain(params, v0)[0])
+        print(f"runtime: {(time.perf_counter() - t0) * 1e3 / NUM_MATVECS:.2f}"
+              f" ms/matvec", flush=True)
         return
 
     chains = {}

@@ -161,9 +161,73 @@ def run(name, cg_max_iter=50):
     return out
 
 
+def run_sharded_analysis(name="mlp_200m", cg_max_iter=50):
+    """Per-device XLA buffer assignment of the model-axis-sharded step vs
+    the single-device step, on the virtual CPU mesh (compile only, no
+    execution): the memory claim behind solver sharding, measured from the
+    exact programs."""
+    import functools
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pytorchhessianfree_tpu.optimizer import hf_step
+    from pytorchhessianfree_tpu.parallel.mesh import make_mesh
+    from pytorchhessianfree_tpu.parallel.sharded import _prepare
+
+    params, fns, batch, cfg_kw = CONFIGS[name]()
+    config = HFConfig(damping=1.0, cg_max_iter=cg_max_iter, **cfg_kw)
+    ravel = TrainableRavel(params, pad_to_multiple=1024)
+    pred = solver_memory_bytes(ravel, config)
+    state = init_state(ravel, config)
+
+    step1 = jax.jit(
+        functools.partial(hf_step, fns=fns, config=config, ravel=ravel)
+    )
+    ma1 = step1.lower(params, state, batch).compile().memory_analysis()
+
+    mesh = make_mesh(8, axis_names=("data", "model"))
+    (
+        config2, use_data, repl, vec_s, buf_s, shard_vec, shard_buf, state_s
+    ) = _prepare(config, ravel, mesh, "data", "model")
+    batch_s = NamedSharding(mesh, P("data"))
+    step8 = jax.jit(
+        functools.partial(
+            hf_step, fns=fns, config=config2, ravel=ravel,
+            shard_vec=shard_vec, shard_buf=shard_buf,
+        ),
+        out_shardings=(repl, state_s, repl),
+    )
+    ma8 = step8.lower(
+        jax.device_put(params, repl),
+        jax.device_put(state, state_s),
+        jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, batch_s), batch
+        ),
+    ).compile().memory_analysis()
+
+    out = {
+        "config": name,
+        "flat_dim": ravel.dim,
+        "predicted_solver_total": pred["total"],
+        "predicted_per_device_model4": solver_memory_bytes(
+            ravel, config, model_axis_size=4
+        )["per_device"],
+        "xla_temp_single_device": ma1.temp_size_in_bytes,
+        "xla_temp_per_device_2x4": ma8.temp_size_in_bytes,
+    }
+    print(json.dumps(out), flush=True)
+    return out
+
+
 if __name__ == "__main__":
     if len(sys.argv) < 2 or sys.argv[1] == "list":
         print(" ".join(CONFIGS))
+        sys.exit(0)
+    if sys.argv[1] == "sharded":
+        os.environ.setdefault("XLA_FLAGS", "")
+        run_sharded_analysis(
+            sys.argv[2] if len(sys.argv) > 2 else "mlp_200m"
+        )
         sys.exit(0)
     run(
         sys.argv[1],

@@ -18,6 +18,7 @@ STEPS = [
     [sys.executable, "examples/run_small_nn_acc.py", "--cpu"],
     [sys.executable, "examples/run_sharded.py", "--cpu"],
     [sys.executable, "examples/run_transformer.py", "--cpu"],
+    [sys.executable, "examples/run_decoder_lm.py", "--cpu"],
     [sys.executable, "examples/run_pipeline.py", "--cpu"],
     [sys.executable, "examples/run_train_loop.py", "--cpu"],
     [sys.executable, "examples/run_resnet18_mnist.py", "--cpu", "--tiny"],

@@ -86,7 +86,11 @@ CONFIGS = {
     "resnet_w4_b256_bf16grid": lambda: _resnet(
         256, width=4.0, cg=CGConfig(store_dtype="bfloat16")
     ),
-    # ~201M params: 6 f32 CG vectors alone = 4.8 GB
+    # wall-bracketing MLPs (one flat f32 vector = 4 bytes/param):
+    "mlp_100m": lambda: _bigmlp(256, (4096, 8192, 8192, 16)),
+    "mlp_150m": lambda: _bigmlp(256, (4096, 8192, 8192, 8192, 16)),
+    "mlp_235m": lambda: _bigmlp(256, (4096, 8192, 8192, 8192, 8192, 16)),
+    # alias kept for the r4 ladder logs ("200m" underestimated: 235M)
     "mlp_200m": lambda: _bigmlp(256, (4096, 8192, 8192, 8192, 8192, 16)),
     "mlp_200m_bf16grid": lambda: _bigmlp(
         256, (4096, 8192, 8192, 8192, 8192, 16),
@@ -137,7 +141,7 @@ def run(name, cg_max_iter=50):
                 ),
             }
     except Exception as e:
-        out["compile_error"] = repr(e)[:300]
+        out["compile_error"] = repr(e)[:4000]
         print(json.dumps(out), flush=True)
         return out
 

@@ -141,7 +141,9 @@ def run(name, cg_max_iter=50):
                 ),
             }
     except Exception as e:
-        out["compile_error"] = repr(e)[:4000]
+        msg = repr(e)
+        # the actionable part of remote-compile errors is at the END
+        out["compile_error_tail"] = msg[-3000:]
         print(json.dumps(out), flush=True)
         return out
 

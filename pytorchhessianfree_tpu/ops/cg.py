@@ -84,6 +84,26 @@ class CGResult(NamedTuple):
     stored_iters: Tuple[int, ...]  # static; iteration number per buffer row
     m_hist: jax.Array  # [max_iter + 1] quadratic values m(x_i); valid 0..num_iters
     nonpos_pAp: jax.Array  # bool, non-positive directional curvature detected
+    # Flat [G * n] alias of ``x_buf`` (``buffer_layout="flat"`` only).  Row
+    # reads in the backtracking/line-search paths go through :meth:`row` so
+    # the 2-D [G, n] view is never materialized on TPU: XLA assigns [G, n]
+    # a T(8,128) tiled layout whose sublane dim pads G up to a multiple of
+    # 8 (13 grid rows -> 16 = 1.2x of a grid that IS most of solver HBM),
+    # and at 150M params the padded copy plus XLA's remat-compressed twin
+    # doubled peak memory (measured 27.5 GB for a 12.8 GB solver,
+    # benchmarks/memory_audit.py).  The flat buffer keeps its natural
+    # 1-D T(1024) layout; a row is one lane-aligned dynamic slice.
+    x_buf_flat: Optional[jax.Array] = None
+
+    def row(self, jc) -> jax.Array:
+        """Stored iterate for (clamped) buffer row ``jc``, read from the
+        flat buffer when available (no [G, n] materialization)."""
+        if self.x_buf_flat is not None:
+            n = self.x.shape[0]
+            return jax.lax.dynamic_slice(
+                self.x_buf_flat, (jc * n,), (n,)
+            )
+        return self.x_buf[jc]
 
     @property
     def m_final(self) -> jax.Array:
@@ -363,7 +383,9 @@ def cg(
         x=x,
         num_iters=it - 1,
         reason=reason,
-        # drop the scratch row (+ unflatten), one reshape outside the loop
+        # drop the scratch row (+ unflatten), one reshape outside the loop;
+        # dead code unless a consumer actually wants the 2-D view (the
+        # backtracking/line-search paths read rows via ``row`` instead)
         x_buf=(
             x_buf[: G * n].reshape(G, n)
             if buffer_layout == "flat"
@@ -372,4 +394,5 @@ def cg(
         stored_iters=stored_iters,
         m_hist=m_hist,
         nonpos_pAp=nonpos,
+        x_buf_flat=x_buf[: G * n] if buffer_layout == "flat" else None,
     )

@@ -89,8 +89,9 @@ def cg_efficient_backtracking(
         if G == 0:
             return cgres.x
         jc = jnp.minimum(j, G - 1)
-        # stored iterates may be kept reduced-precision (cg store_dtype)
-        return jnp.where(j == G, cgres.x, cgres.x_buf[jc].astype(cgres.x.dtype))
+        # stored iterates may be kept reduced-precision (cg store_dtype);
+        # row() reads the flat buffer -- no [G, n] materialization on TPU
+        return jnp.where(j == G, cgres.x, cgres.row(jc).astype(cgres.x.dtype))
 
     def valid_at(j):
         if G == 0:
@@ -396,7 +397,7 @@ def fused_trials(
         if G == 0:
             return cgres.x
         jc = jnp.minimum(j, G - 1)
-        return jnp.where(j == G, cgres.x, cgres.x_buf[jc].astype(cgres.x.dtype))
+        return jnp.where(j == G, cgres.x, cgres.row(jc).astype(cgres.x.dtype))
 
     # Valid candidate rows form a contiguous prefix [0, k): the grid is
     # ascending, rows at/after num_iters were never reached or duplicate the

@@ -129,28 +129,33 @@ class TrainableRavel:
         extended with zero entries for frozen leaves so the result is a valid
         tangent for ``jax.jvp``.
 
-        The result passes through ``lax.optimization_barrier`` (an exact
-        identity): without it, XLA:TPU fuses the flat-vector slices into the
-        consumer graph, and when that consumer is the forward-mode tangent
-        of a conv net the fusion blows compile time up ~25x (measured 125 s
-        vs 5.8 s for ResNet-18's jvp, benchmarks/compile_probe5.py).  The
-        barrier materializes the leaf tensors once -- traffic the conv
-        operands needed anyway -- and restores sane compile times.
+        The 1-D slices pass through ``lax.optimization_barrier`` (an exact
+        identity) BEFORE being reshaped to leaf shape, for two measured
+        XLA:TPU reasons:
+
+        - without any barrier, the flat-vector slices fuse into the consumer
+          graph, and when that consumer is the forward-mode tangent of a
+          conv net the fusion blows compile time up ~25x (measured 125 s
+          vs 5.8 s for ResNet-18's jvp, benchmarks/compile_probe5.py);
+        - with the barrier placed AFTER the reshape, XLA's reshape-mover
+          rewrites ``reshape(slice(vec))`` into ``slice(reshape(vec))``
+          whenever a leaf's minor dim divides the flat dim -- manufacturing
+          a full-vector ``f32[dim/k, k]`` array whose ``T(8,128)`` tiling
+          pads a narrow ``k`` up to 128 lanes.  For an MLP with a 16-wide
+          output layer that is an 8x HBM expansion of the *entire* vector
+          (3.0 GB per copy at 100M params; XLA remat kept three alive and a
+          ~1.6 GB-unpadded step program OOMed a 16 GB v5e,
+          benchmarks/memory_audit.py mlp_100m).  Barriering the 1-D slice
+          keeps the reshape un-hoistable and the big vector lane-major.
         """
         self._check_len(vec)
-        out = []
-        for i, (shape, dtype, m) in enumerate(
-            zip(self._shapes, self._dtypes, self._mask)
-        ):
-            size = int(np.prod(shape))
+        slices = self._barriered_slices(vec)
+        out, it = [], iter(slices)
+        for shape, dtype, m in zip(self._shapes, self._dtypes, self._mask):
             if m:
-                start = self._offsets[i]
-                out.append(
-                    jnp.reshape(vec[start : start + size], shape).astype(dtype)
-                )
+                out.append(jnp.reshape(next(it), shape).astype(dtype))
             else:
                 out.append(jnp.zeros(shape, dtype))
-        out = list(jax.lax.optimization_barrier(tuple(out)))
         return jax.tree_util.tree_unflatten(self._treedef, out)
 
     def write(self, params: Any, vec: jax.Array) -> Any:
@@ -162,19 +167,28 @@ class TrainableRavel:
         self._check_len(vec)
         leaves = jax.tree_util.tree_leaves(params)
         self._check_leaves(leaves)
-        out = []
+        slices = self._barriered_slices(vec)
+        out, it = [], iter(slices)
         for idx, (leaf, m) in enumerate(zip(leaves, self._mask)):
             if m:
-                size = int(np.prod(self._shapes[idx]))
-                start = self._offsets[idx]
                 out.append(
-                    jnp.reshape(vec[start : start + size], self._shapes[idx])
+                    jnp.reshape(next(it), self._shapes[idx])
                     .astype(self._dtypes[idx])
                 )
             else:
                 out.append(leaf)
-        out = list(jax.lax.optimization_barrier(tuple(out)))
         return jax.tree_util.tree_unflatten(self._treedef, out)
+
+    def _barriered_slices(self, vec: jax.Array):
+        """1-D trainable-leaf spans of ``vec`` behind an optimization
+        barrier (see :meth:`unravel` for the two XLA:TPU reasons)."""
+        slices = []
+        for i, (shape, m) in enumerate(zip(self._shapes, self._mask)):
+            if m:
+                size = int(np.prod(shape))
+                start = self._offsets[i]
+                slices.append(vec[start : start + size])
+        return list(jax.lax.optimization_barrier(tuple(slices)))
 
     def add(self, params: Any, vec: jax.Array) -> Any:
         """Return ``params + unravel(vec)`` -- the trial-parameter write the
@@ -185,18 +199,16 @@ class TrainableRavel:
         self._check_len(vec)
         leaves = jax.tree_util.tree_leaves(params)
         self._check_leaves(leaves)
-        out = []
+        slices = self._barriered_slices(vec)
+        out, it = [], iter(slices)
         for idx, (leaf, m) in enumerate(zip(leaves, self._mask)):
             if m:
-                size = int(np.prod(self._shapes[idx]))
-                start = self._offsets[idx]
-                delta = jnp.reshape(
-                    vec[start : start + size], self._shapes[idx]
-                ).astype(self._dtypes[idx])
+                delta = jnp.reshape(next(it), self._shapes[idx]).astype(
+                    self._dtypes[idx]
+                )
                 out.append(leaf + delta)
             else:
                 out.append(leaf)
-        out = list(jax.lax.optimization_barrier(tuple(out)))
         return jax.tree_util.tree_unflatten(self._treedef, out)
 
     def zeros(self) -> jax.Array:

@@ -107,7 +107,7 @@ CONFIGS = {
 }
 
 
-def run(name, cg_max_iter=50):
+def run(name, cg_max_iter=50, donate=False):
     params, fns, batch, cfg_kw = CONFIGS[name]()
     config = HFConfig(damping=1.0, cg_max_iter=cg_max_iter, **cfg_kw)
     ravel = TrainableRavel(params, pad_to_multiple=1024)
@@ -120,9 +120,12 @@ def run(name, cg_max_iter=50):
         "platform": dev.platform,
         "flat_dim": n_params,
         "predicted_solver_bytes": pred["total"],
+        "donate": donate,
     }
 
-    step = make_hf_step(fns, config, ravel)
+    # donation aliases the param/state argument buffers into the outputs --
+    # at 235M params that is ~3.7 GB of HBM the step does not double-hold
+    step = make_hf_step(fns, config, ravel, donate=donate)
     state = init_state(ravel, config)
 
     jitted = jax.jit(step) if not hasattr(step, "lower") else step
@@ -238,4 +241,5 @@ if __name__ == "__main__":
     run(
         sys.argv[1],
         cg_max_iter=int(sys.argv[2]) if len(sys.argv) > 2 else 50,
+        donate="donate" in sys.argv[3:],
     )

@@ -34,7 +34,6 @@ from pytorchhessianfree_tpu import (
     HFModelFns,
     TrainableRavel,
     init_state,
-    make_hf_step,
 )
 from pytorchhessianfree_tpu.config import CGConfig
 from pytorchhessianfree_tpu.models import (
@@ -124,11 +123,18 @@ def run(name, cg_max_iter=50, donate=False):
     }
 
     # donation aliases the param/state argument buffers into the outputs --
-    # at 235M params that is ~3.7 GB of HBM the step does not double-hold
-    step = make_hf_step(fns, config, ravel, donate=donate)
-    state = init_state(ravel, config)
+    # at 235M params that is ~3.7 GB of HBM the step does not double-hold.
+    # jit hf_step directly: make_hf_step returns a plain wrapper, and
+    # re-jitting the wrapper would silently drop its donate_argnums.
+    import functools
 
-    jitted = jax.jit(step) if not hasattr(step, "lower") else step
+    from pytorchhessianfree_tpu.optimizer import hf_step
+
+    state = init_state(ravel, config)
+    jitted = jax.jit(
+        functools.partial(hf_step, fns=fns, config=config, ravel=ravel),
+        donate_argnums=(0, 1) if donate else (),
+    )
     try:
         lowered = jitted.lower(params, state, batch)
         compiled = lowered.compile()

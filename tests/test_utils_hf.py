@@ -167,3 +167,52 @@ def test_solver_memory_matches_xla_buffer_assignment():
     temp = ma.temp_size_in_bytes
     assert temp > 0
     assert 0.5 < pred / temp < 2.0, (pred, temp)
+
+
+def test_donated_step_aliases_param_and_state_buffers():
+    """Donation must survive into the compiled program: alias_size_in_bytes
+    covers (at least) the flat param vector.  Guards the failure mode found
+    in the r4 HBM audit -- wrapping an already-donating step in a plain
+    outer ``jax.jit`` silently drops ``donate_argnums`` (alias bytes 0) and
+    reintroduces the double-buffered params+state boundary that OOMs the
+    235M-param config on a real chip."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from pytorchhessianfree_tpu import (
+        HFConfig,
+        HFModelFns,
+        TrainableRavel,
+        init_state,
+    )
+    from pytorchhessianfree_tpu.models import init_mlp, mlp_apply
+    from pytorchhessianfree_tpu.models.mlp import mse_loss
+    from pytorchhessianfree_tpu.optimizer import hf_step
+
+    key = jax.random.PRNGKey(0)
+    params = init_mlp(key, sizes=(7, 64, 64, 3), dtype=jnp.float32)
+    fns = HFModelFns(model_fn=mlp_apply, loss_outer=mse_loss)
+    config = HFConfig(damping=1.0, cg_max_iter=10)
+    ravel = TrainableRavel(params)
+    x = jax.random.normal(key, (8, 7), jnp.float32)
+    y = jax.random.normal(key, (8, 3), jnp.float32)
+    state = init_state(ravel, config)
+
+    def lower(donate):
+        step = jax.jit(
+            functools.partial(hf_step, fns=fns, config=config, ravel=ravel),
+            donate_argnums=(0, 1) if donate else (),
+        )
+        return step.lower(params, state, (x, y)).compile().memory_analysis()
+
+    ma = lower(donate=True)
+    param_bytes = sum(
+        a.size * a.dtype.itemsize for a in jax.tree_util.tree_leaves(params)
+    )
+    assert ma.alias_size_in_bytes >= param_bytes, (
+        ma.alias_size_in_bytes,
+        param_bytes,
+    )
+    assert lower(donate=False).alias_size_in_bytes == 0

@@ -155,7 +155,14 @@ def measure_jax_hf_step_seconds(cg_max_iter: int = 50):
         100.0 * (ts[(3 * len(ts)) // 4] - ts[len(ts) // 4])
         / ts[len(ts) // 2], 1,
     )
-    return ts[len(ts) // 2], iters, spread_pct
+    # raw step spread mostly reflects the CG-iteration count decaying as LM
+    # damping adapts (42 -> ~20 over these 7 steps), not relay noise; the
+    # per-CG-iteration cost is the stable quantity, so report it too.
+    per_iter = sorted(
+        t / max(i, 1) for t, i in zip(times, iters)
+    )
+    per_iter_ms = round(per_iter[len(per_iter) // 2] * 1e3, 3)
+    return ts[len(ts) // 2], iters, spread_pct, per_iter_ms
 
 
 def torch_baselines() -> dict:
@@ -199,12 +206,15 @@ if __name__ == "__main__":
     # The step program's remote compile occasionally hits a slow service
     # phase; never let that lose the primary metric.
     try:
-        step_sec, step_iters, step_spread = measure_jax_hf_step_seconds()
+        step_sec, step_iters, step_spread, step_per_iter_ms = (
+            measure_jax_hf_step_seconds()
+        )
     except Exception as e:  # pragma: no cover - service-dependent
         import sys
 
         print(f"hf-step measurement failed: {e!r}", file=sys.stderr)
         step_sec, step_iters, step_spread = None, None, None
+        step_per_iter_ms = None
     try:
         baselines = torch_baselines()
     except Exception as e:  # pragma: no cover - environment-dependent
@@ -249,6 +259,7 @@ if __name__ == "__main__":
             hf_step_ms=round(step_sec * 1e3, 2),
             hf_step_cg_iters=step_iters,
             hf_step_iqr_pct=step_spread,
+            hf_step_ms_per_cg_iter=step_per_iter_ms,
         )
         if step_base:
             out["hf_step_vs_torch_cpu"] = round(

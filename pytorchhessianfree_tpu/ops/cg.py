@@ -21,7 +21,7 @@ Semantics parity map (reference cg.py line numbers):
 
 from __future__ import annotations
 
-from math import ceil, log
+from math import ceil, gcd, log
 from typing import Callable, NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -84,15 +84,24 @@ class CGResult(NamedTuple):
     stored_iters: Tuple[int, ...]  # static; iteration number per buffer row
     m_hist: jax.Array  # [max_iter + 1] quadratic values m(x_i); valid 0..num_iters
     nonpos_pAp: jax.Array  # bool, non-positive directional curvature detected
-    # Flat [G * n] alias of ``x_buf`` (``buffer_layout="flat"`` only).  Row
+    # Flat storage alias of ``x_buf`` (``buffer_layout="flat"`` only).  Row
     # reads in the backtracking/line-search paths go through :meth:`row` so
     # the 2-D [G, n] view is never materialized on TPU: XLA assigns [G, n]
     # a T(8,128) tiled layout whose sublane dim pads G up to a multiple of
     # 8 (13 grid rows -> 16 = 1.2x of a grid that IS most of solver HBM),
     # and at 150M params the padded copy plus XLA's remat-compressed twin
     # doubled peak memory (measured 27.5 GB for a 12.8 GB solver,
-    # benchmarks/memory_audit.py).  The flat buffer keeps its natural
-    # 1-D T(1024) layout; a row is one lane-aligned dynamic slice.
+    # benchmarks/memory_audit.py).
+    #
+    # Shape: ``[rows*n // chunk, chunk]`` with ``chunk = gcd(n, 1024)``
+    # (``[rows*n]`` 1-D when the chunk degenerates to 1).  The chunked form
+    # exists because row starts are computed as ``jc * rows_per_slot`` in
+    # jax's default int32: a direct ``jc * n`` overflows 2**31 once
+    # ``rows * n`` exceeds ~2.1e9 elements (>= ~165M params at the 13-row
+    # cg50 grid) and silently reads the wrong iterate.  With chunk 1024 the
+    # multiplier shrinks 1024x (safe to ~8 TB of grid) and the minor dim
+    # stays exactly lane-aligned, so the layout is tile-identical to the
+    # natural 1-D T(1024) form.
     x_buf_flat: Optional[jax.Array] = None
 
     def row(self, jc) -> jax.Array:
@@ -100,8 +109,17 @@ class CGResult(NamedTuple):
         flat buffer when available (no [G, n] materialization)."""
         if self.x_buf_flat is not None:
             n = self.x.shape[0]
+            buf = self.x_buf_flat
+            if buf.ndim == 2:
+                chunk = buf.shape[1]
+                start = jnp.asarray(jc) * (n // chunk)
+                return jax.lax.dynamic_slice(
+                    buf,
+                    (start, jnp.zeros((), start.dtype)),
+                    (n // chunk, chunk),
+                ).reshape(n)
             return jax.lax.dynamic_slice(
-                self.x_buf_flat, (jc * n,), (n,)
+                buf, (jc * n,), (n,)
             )
         return self.x_buf[jc]
 
@@ -163,13 +181,15 @@ def cg(
             :func:`~pytorchhessianfree_tpu.parallel.make_sharded_hf_step` to
             keep the whole CG vector space sharded across a device mesh.
         shard_buf: same, for the iterate-storage buffer (its largest array).
-            The buffer's rank depends on ``buffer_layout``: ``"rows"`` passes
-            a ``[rows, n]`` array (shard the last axis; ``rows`` is ``G``
-            under the default ``store_mode="cond"``, ``G+1`` with the
-            scratch row), ``"flat"`` a 1-D ``[rows*n]`` array -- a rank-2
-            PartitionSpec with the default
-            flat layout will fail inside the trace.  The ``parallel.sharded``
-            builders force ``"rows"`` for exactly this reason.
+            The buffer's shape depends on ``buffer_layout``: ``"rows"``
+            passes a ``[rows, n]`` array (shard the last axis; ``rows`` is
+            ``G`` under the default ``store_mode="cond"``, ``G+1`` with the
+            scratch row), ``"flat"`` a ``[rows*n // chunk, chunk]`` array
+            (``chunk = gcd(n, 1024)``; degenerates to 1-D ``[rows*n]`` when
+            the chunk is 1) -- a PartitionSpec written for the ``"rows"``
+            shape will fail inside the trace with the flat layout.  The
+            ``parallel.sharded`` builders force ``"rows"`` for exactly this
+            reason.
     """
     if nonpos_curv_option not in ("ignore", "saddle-free"):
         raise ValueError(f"Unknown option {nonpos_curv_option}.")
@@ -236,17 +256,49 @@ def cg(
     #   buffer traffic; backtracking casts candidates back on read.
     sdtype = jnp.dtype(store_dtype) if store_dtype is not None else dtype
     rows = G + 1 if store_mode == "scratch" else max(G, 1)
+    # chunk > 1 stores the flat buffer as [rows*n//chunk, chunk] so the
+    # runtime row-start multiply stays far inside int32 range (see the
+    # CGResult.x_buf_flat comment); gcd keeps the transform exact for any
+    # n, and the lane-aligned padded space (pad_to_multiple=1024) always
+    # gets the full 1024-wide chunk.
+    chunk = gcd(n, 1024) if buffer_layout == "flat" else 1
     if buffer_layout == "flat":
-        x_buf = jnp.zeros((rows * n,), sdtype)
-        if G and stored_iters[0] == 0:
-            x_buf = jax.lax.dynamic_update_slice(
-                x_buf, x0.astype(sdtype), (0,)
-            )
+        if chunk > 1:
+            x_buf = jnp.zeros((rows * n // chunk, chunk), sdtype)
+            if G and stored_iters[0] == 0:
+                x_buf = jax.lax.dynamic_update_slice(
+                    x_buf, x0.astype(sdtype).reshape(-1, chunk), (0, 0)
+                )
+        else:
+            if rows * n >= 2**31:
+                raise ValueError(
+                    "buffer_layout='flat' with an odd (unchunkable) flat "
+                    f"dim {n} and {rows} grid rows needs row offsets "
+                    ">= 2**31, which overflows jax's default int32 index "
+                    "arithmetic.  Pad the vector space (TrainableRavel("
+                    "pad_to_multiple=1024)) or use buffer_layout='rows'."
+                )
+            x_buf = jnp.zeros((rows * n,), sdtype)
+            if G and stored_iters[0] == 0:
+                x_buf = jax.lax.dynamic_update_slice(
+                    x_buf, x0.astype(sdtype), (0,)
+                )
     else:  # "rows"
         x_buf = jnp.zeros((rows, n), sdtype)
         if G and stored_iters[0] == 0:
             x_buf = x_buf.at[0].set(x0.astype(sdtype))
     x_buf = sb(x_buf)
+
+    def _flat_write(buf, idx, vec):
+        # 1-D/chunked dynamic update at row ``idx`` (flat layout only).
+        if chunk > 1:
+            start = jnp.asarray(idx) * (n // chunk)
+            return jax.lax.dynamic_update_slice(
+                buf,
+                vec.reshape(-1, chunk),
+                (start, jnp.zeros((), start.dtype)),
+            )
+        return jax.lax.dynamic_update_slice(buf, vec, (idx * n,))
 
     def cond(carry):
         return jnp.logical_not(carry[7])
@@ -286,9 +338,7 @@ def cg(
             if store_mode == "scratch":
                 idx = jnp.where(slot >= 0, slot, G)
                 if buffer_layout == "flat":
-                    x_buf = jax.lax.dynamic_update_slice(
-                        x_buf, x_new.astype(sdtype), (idx * n,)
-                    )
+                    x_buf = _flat_write(x_buf, idx, x_new.astype(sdtype))
                 else:
                     x_buf = x_buf.at[idx].set(x_new.astype(sdtype))
             else:  # "cond"
@@ -297,9 +347,7 @@ def cg(
                 if buffer_layout == "flat":
 
                     def write(buf):
-                        return jax.lax.dynamic_update_slice(
-                            buf, x_new.astype(sdtype), (idx * n,)
-                        )
+                        return _flat_write(buf, idx, x_new.astype(sdtype))
 
                 else:
 
@@ -387,12 +435,17 @@ def cg(
         # dead code unless a consumer actually wants the 2-D view (the
         # backtracking/line-search paths read rows via ``row`` instead)
         x_buf=(
-            x_buf[: G * n].reshape(G, n)
+            x_buf.reshape(-1)[: G * n].reshape(G, n)
             if buffer_layout == "flat"
             else x_buf[:G]
         ),
         stored_iters=stored_iters,
         m_hist=m_hist,
         nonpos_pAp=nonpos,
-        x_buf_flat=x_buf[: G * n] if buffer_layout == "flat" else None,
+        # drop the scratch row (if any); keeps the chunked/1-D shape
+        x_buf_flat=(
+            x_buf[: G * (n // chunk)]
+            if buffer_layout == "flat"
+            else None
+        ),
     )

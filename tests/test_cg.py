@@ -309,3 +309,59 @@ def test_store_modes_bit_identical():
     assert int(outs["cond"][1].best_cg_iter) == int(
         outs["scratch"][1].best_cg_iter
     )
+
+
+def test_flat_buffer_chunked_rows_match_2d_view():
+    """With a lane-aligned dim (multiple of 1024) the flat buffer is stored
+    chunked ([rows*n//1024, 1024]) so row starts never overflow int32 (the
+    jc*n form wrapped at >= ~165M params x 13 grid rows); every row() read
+    must reproduce the corresponding 2-D x_buf row bit-exactly."""
+    A, b, _ = get_linear_system(1024, seed=5, dtype=jnp.float64)
+    res = jax.jit(
+        lambda b: cg(
+            lambda v: A @ v, b, max_iter=30, martens_conv_crit=True
+        )
+    )(b)
+    assert res.x_buf_flat is not None and res.x_buf_flat.ndim == 2
+    assert res.x_buf_flat.shape[1] == 1024
+    for j in range(res.x_buf.shape[0]):
+        np.testing.assert_array_equal(
+            np.asarray(res.row(jnp.asarray(j, jnp.int32))),
+            np.asarray(res.x_buf[j]),
+        )
+
+
+def test_flat_and_rows_buffer_layouts_bit_identical():
+    """buffer_layout is a pure storage choice: 'flat' (default) and 'rows'
+    must agree bit-exactly on the solution, the stored grid, and the
+    iteration count -- including an odd dim (chunk 1, legacy 1-D flat) and
+    an even dim (chunked 2-D flat)."""
+    for dim in (24, 37, 1024):
+        A, b, _ = get_linear_system(dim, seed=7, dtype=jnp.float64)
+        outs = {}
+        for layout in ("flat", "rows"):
+            outs[layout] = jax.jit(
+                lambda b, l=layout: cg(
+                    lambda v: A @ v, b, max_iter=20,
+                    martens_conv_crit=True, buffer_layout=l,
+                )
+            )(b)
+        np.testing.assert_array_equal(
+            np.asarray(outs["flat"].x), np.asarray(outs["rows"].x)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(outs["flat"].x_buf), np.asarray(outs["rows"].x_buf)
+        )
+        assert int(outs["flat"].num_iters) == int(outs["rows"].num_iters)
+
+
+def test_flat_buffer_unchunkable_overflow_guard():
+    """An odd (gcd 1) dim whose grid would need row offsets >= 2**31 must
+    raise at trace time instead of silently wrapping the int32 index; traced
+    via eval_shape so the 11 GB buffer is never allocated."""
+    n = 2**28 * 13 + 1  # odd -> chunk 1; 13 grid rows x n >> 2**31
+    spec = jax.ShapeDtypeStruct((n,), jnp.float32)
+    with pytest.raises(ValueError, match="overflows"):
+        jax.eval_shape(
+            lambda b: cg(lambda v: v, b, max_iter=50), spec
+        )

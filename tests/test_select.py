@@ -20,21 +20,40 @@ from pytorchhessianfree_tpu import (
 from pytorchhessianfree_tpu.ops.cg import CGResult
 
 
-def _toy_cgres():
+STORAGES = ["rows", "flat1d", "chunked"]
+
+
+def _toy_cgres(storage="rows"):
     """The reference toy steps_list [2.0, 1.0, None, 2.7, 2.4, None, None, 7.3]
     re-expressed as a CGResult: grid slots hold the stored iterations, the
     ``None`` holes are simply absent grid entries, the final iterate (7.3)
-    lives at iteration num_iters = 7."""
+    lives at iteration num_iters = 7.
+
+    ``storage`` selects which buffer form the walk reads through -- the
+    legacy 2-D ``x_buf`` rows, the 1-D flat buffer, or the chunked 2-D flat
+    buffer (n=2, values duplicated per row) -- so the reference-parity
+    semantics are pinned on the production ``row()`` paths, not just the
+    fallback (r4 review finding)."""
     stored_iters = (0, 1, 3, 4)
-    x_buf = jnp.asarray([[2.0], [1.0], [2.7], [2.4]])
+    vals = [2.0, 1.0, 2.7, 2.4]
+    if storage == "chunked":
+        x_buf = jnp.asarray([[v, v] for v in vals])
+        x = jnp.asarray([7.3, 7.3])
+        # n=2 -> chunk gcd(2, 1024) = 2: flat storage is [rows*n//2, 2]
+        x_buf_flat = x_buf
+    else:
+        x_buf = jnp.asarray([[v] for v in vals])
+        x = jnp.asarray([7.3])
+        x_buf_flat = x_buf.reshape(-1) if storage == "flat1d" else None
     return CGResult(
-        x=jnp.asarray([7.3]),
+        x=x,
         num_iters=jnp.asarray(7, jnp.int32),
         reason=jnp.asarray(2, jnp.int32),
         x_buf=x_buf,
         stored_iters=stored_iters,
         m_hist=jnp.zeros(9),
         nonpos_pAp=jnp.asarray(False),
+        x_buf_flat=x_buf_flat,
     )
 
 
@@ -42,18 +61,22 @@ def _tfunc(step):
     return step[0] + 10.0
 
 
+@pytest.mark.parametrize("storage", STORAGES)
 @pytest.mark.parametrize("mode", ["sequential", "batched"])
-def test_efficient_backtracking_toy(mode):
-    res = cg_efficient_backtracking(_tfunc, _toy_cgres(), mode=mode)
+def test_efficient_backtracking_toy(mode, storage):
+    res = cg_efficient_backtracking(
+        _tfunc, _toy_cgres(storage), mode=mode
+    )
     # Reverse walk: iter 7 (17.3) -> iter 4 (12.4, improves) -> iter 3
     # (12.7, no improvement -> stop).  Best observed = iteration 4.
     assert int(res.best_iter) == 4
     np.testing.assert_allclose(float(res.f_best), 12.4)
-    np.testing.assert_allclose(np.asarray(res.step), [2.4])
+    np.testing.assert_allclose(float(res.step[0]), 2.4)
 
 
-def test_exhaustive_backtracking_toy():
-    res = cg_backtracking(_tfunc, _toy_cgres())
+@pytest.mark.parametrize("storage", STORAGES)
+def test_exhaustive_backtracking_toy(storage):
+    res = cg_backtracking(_tfunc, _toy_cgres(storage))
     # Global argmin: iteration 1 (f = 11.0).
     assert int(res.best_iter) == 1
     np.testing.assert_allclose(float(res.f_best), 11.0)

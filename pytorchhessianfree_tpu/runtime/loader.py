@@ -86,6 +86,7 @@ def _load():
             ]
             lib.hfb_batches_per_epoch.restype = ctypes.c_int64
             lib.hfb_batches_per_epoch.argtypes = [ctypes.c_void_p]
+            lib.hfb_stop.argtypes = [ctypes.c_void_p]
             lib.hfb_destroy.argtypes = [ctypes.c_void_p]
             _lib = lib
     return _lib
@@ -202,6 +203,16 @@ class PrefetchLoader:
 
     def __next__(self):
         return self.next_batch()
+
+    def stop(self):
+        """Signal shutdown WITHOUT freeing: any thread blocked in
+        :meth:`next_batch` promptly gets the -1 sentinel (a
+        ``RuntimeError``), and later calls fail the same way.  Safe to call
+        from any thread while readers are in flight -- the native handle
+        stays valid until :meth:`close`.  Owners with a reader thread should
+        ``stop()``, join the reader, then ``close()``."""
+        if getattr(self, "_h", None):
+            self._lib.hfb_stop(self._h)
 
     def close(self):
         if getattr(self, "_h", None):

@@ -97,6 +97,11 @@ class DevicePrefetcher:
                 if self._n_batches is not None and count >= self._n_batches:
                     break
         except BaseException as e:  # surfaced on the consumer side
+            if self._stop.is_set():
+                # close() raced the read: a source unblocked by shutdown
+                # (e.g. PrefetchLoader.stop() turning hfb_next into the -1
+                # sentinel) is a clean stop, not a sticky stream error.
+                return
             self._err = e
             self._err_tb = e.__traceback__
         finally:
@@ -161,14 +166,26 @@ class DevicePrefetcher:
                 self._q.get_nowait()
         except queue.Empty:
             pass
+        if self._close_source:
+            # Unblock a worker parked inside the source's blocking read
+            # BEFORE joining: PrefetchLoader.stop() (native hfb_stop) wakes
+            # a thread blocked in hfb_next with the -1 sentinel while
+            # keeping the handle valid, so the join below succeeds promptly
+            # and the destroy afterwards frees nothing still in use.
+            stop = getattr(self._source, "stop", None)
+            if callable(stop):
+                try:
+                    stop()
+                except Exception:
+                    pass
         if self._thread.is_alive():
             self._thread.join(timeout=5.0)
         if self._close_source:
             if self._thread.is_alive():
-                # Worker is still blocked inside the source (e.g. a native
-                # next_batch call).  Closing the source now could free
-                # native handles under it (use-after-free); leave it to the
-                # source's own __del__/GC path instead.
+                # No stop() hook (or it didn't help) and the worker is
+                # still inside the source.  Freeing native handles under a
+                # blocked reader would be a use-after-free; leave the
+                # source to its own __del__/GC path instead.
                 import warnings
 
                 warnings.warn(

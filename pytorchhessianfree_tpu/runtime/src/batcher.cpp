@@ -236,6 +236,20 @@ int64_t hfb_next(void* handle, void* out_x, void* out_y) {
   return result;
 }
 
+// Stop WITHOUT freeing: sets the stop flag and wakes every blocked
+// producer/consumer (a consumer inside hfb_next returns the -1 sentinel).
+// Safe to call from any thread at any time, including while another thread
+// is blocked in hfb_next; the handle stays valid until hfb_destroy.  Lets
+// an owner unblock its reader thread, join it, and only then destroy --
+// removing the reader-about-to-call-hfb_next vs free race entirely.
+void hfb_stop(void* handle) {
+  auto* b = static_cast<Batcher*>(handle);
+  std::lock_guard<std::mutex> lk(b->mu);
+  b->stop.store(true);
+  b->cv_consume.notify_all();
+  b->cv_produce.notify_all();
+}
+
 void hfb_destroy(void* handle) {
   auto* b = static_cast<Batcher*>(handle);
   {

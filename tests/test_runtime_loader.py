@@ -322,3 +322,84 @@ def test_npy_to_prefetcher_to_hf_step_end_to_end(tmp_path):
     assert len(losses) == 3
     assert all(np.isfinite(v) for v in losses)
     assert int(state.step_count) == 3
+
+
+def test_device_prefetcher_stop_hook_unblocks_worker_then_closes_source():
+    """A source exposing stop() (the PrefetchLoader protocol) lets close()
+    unblock a worker parked inside the source's blocking read, join it, and
+    then REALLY close the source -- no warning, no deferred-to-GC leak (r4
+    review finding: the previous skip left the native handle and worker
+    leaked forever in exactly the shutdown path hfb_stop/hfb_destroy were
+    designed for)."""
+    import threading
+    import warnings
+
+    from pytorchhessianfree_tpu.runtime.prefetch import DevicePrefetcher
+
+    release = threading.Event()
+    closed, stopped = [], []
+
+    class StoppableBlockingSource:
+        def __iter__(self):
+            return self
+
+        def __next__(self):
+            release.wait()
+            # mirrors PrefetchLoader.next_batch after stop(): the native
+            # call returns the -1 sentinel -> RuntimeError
+            raise RuntimeError("PrefetchLoader is shutting down")
+
+        def stop(self):
+            stopped.append(True)
+            release.set()
+
+        def close(self):
+            closed.append(True)
+
+    pf = DevicePrefetcher(
+        StoppableBlockingSource(), depth=1, close_source=True
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        pf.close()
+    assert stopped == [True]
+    assert closed == [True]
+    assert not any(
+        isinstance(x.message, RuntimeWarning) for x in w
+    ), [str(x.message) for x in w]
+    # the shutdown-race error must NOT be recorded as a sticky stream error
+    assert pf.error is None
+
+
+def test_prefetch_loader_stop_then_close():
+    """stop() invalidates reads (RuntimeError sentinel) while keeping the
+    handle alive; close() afterwards frees it."""
+    x, y = _dataset(16, 3)
+    loader = PrefetchLoader(x, y, batch_size=4, depth=2)
+    xb, _ = loader.next_batch()
+    assert xb.shape == (4, 3)
+    loader.stop()
+    with pytest.raises(RuntimeError, match="shutting down"):
+        loader.next_batch()
+    assert loader._h is not None  # stop does not free
+    loader.close()
+    assert loader._h is None
+
+
+def test_device_prefetcher_over_loader_closes_native_handle():
+    """End to end over the real native loader: close(close_source=True)
+    must stop+join+destroy promptly, leaving the handle freed."""
+    import warnings
+
+    from pytorchhessianfree_tpu.runtime.prefetch import DevicePrefetcher
+
+    x, y = _dataset(64, 5)
+    loader = PrefetchLoader(x, y, batch_size=8, depth=2)
+    pf = DevicePrefetcher(loader, depth=2, close_source=True)
+    next(pf)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        pf.close()
+    assert loader._h is None
+    assert not any(isinstance(x.message, RuntimeWarning) for x in w)
+    assert not pf._thread.is_alive()

@@ -31,7 +31,9 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "BASELINE_MEASURED.json")
 
 
-def measure_jax_matvecs_per_sec() -> float:
+def measure_jax_matvecs_per_sec() -> dict:
+    """Returns rate quantiles over the in-process repeats:
+    ``{"median", "q1", "q3", "min", "max", "n", "iqr_pct"}`` (matvec/s)."""
     from pytorchhessianfree_tpu import TrainableRavel
     from pytorchhessianfree_tpu.models import (
         cross_entropy_loss,

@@ -239,7 +239,17 @@ if __name__ == "__main__":
         print(" ".join(CONFIGS))
         sys.exit(0)
     if sys.argv[1] == "sharded":
-        os.environ.setdefault("XLA_FLAGS", "")
+        # The sharded analysis needs the virtual 8-device CPU platform.
+        # XLA_FLAGS is read at (lazy) backend init, and the sitecustomize
+        # hook's platform pin must be overridden via jax.config AFTER
+        # import -- both still possible here because no device has been
+        # queried yet on this path (run() above is what touches the TPU).
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
+        jax.config.update("jax_platforms", "cpu")
         run_sharded_analysis(
             sys.argv[2] if len(sys.argv) > 2 else "mlp_200m"
         )

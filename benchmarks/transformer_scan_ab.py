@@ -103,7 +103,10 @@ def main(n_layers=6, mode="chain"):
                 ),
                 loss_outer=cross_entropy_loss,
             )
-            step = jax.jit(make_hf_step(fns, config, ravel))
+            # make_hf_step is already jitted inside; re-wrapping it in an
+            # outer jax.jit re-traces for nothing and would silently drop
+            # donate_argnums if donation were on (see memory_audit r4 fix)
+            step = make_hf_step(fns, config, ravel)
             state = init_state(ravel, config)
             t0 = time.perf_counter()
             p2, state, stats = step(params, state, (tokens, labels))

@@ -20,6 +20,7 @@ STEPS = [
     [sys.executable, "examples/run_transformer.py", "--cpu"],
     [sys.executable, "examples/run_decoder_lm.py", "--cpu"],
     [sys.executable, "examples/run_pipeline.py", "--cpu"],
+    [sys.executable, "examples/run_prefetch_loader.py", "--cpu"],
     [sys.executable, "examples/run_train_loop.py", "--cpu"],
     [sys.executable, "examples/run_resnet18_mnist.py", "--cpu", "--tiny"],
     [sys.executable, "examples/run_allcnnc_cifar100.py", "--cpu", "--tiny"],

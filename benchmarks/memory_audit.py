@@ -80,6 +80,9 @@ CONFIGS = {
     "resnet_b4096": lambda: _resnet(4096),
     "resnet_b4096_remat": lambda: _resnet(4096, remat=True),
     "resnet_b8192_remat": lambda: _resnet(8192, remat=True),
+    # activation-bound wall probes (b2048 measured 2.93 GB temp -> ~8x)
+    "resnet_b16384": lambda: _resnet(16384),
+    "resnet_b16384_remat": lambda: _resnet(16384, remat=True),
     "resnet_w2_b512": lambda: _resnet(512, width=2.0),
     "resnet_w4_b256": lambda: _resnet(256, width=4.0),
     "resnet_w4_b256_bf16grid": lambda: _resnet(

@@ -43,7 +43,8 @@ BATCH = 32
 A, B = 37, 11  # affine rule coefficients (gcd(A, VOCAB)=1 -> a permutation)
 
 
-def make_batch(key, batch=BATCH):
+def make_batch(key, batch=None):
+    batch = BATCH if batch is None else batch  # module global: CLI-overridable
     start = jax.random.randint(key, (batch, 1), 0, VOCAB)
     toks = [start[:, 0]]
     for _ in range(T - 1):
@@ -167,6 +168,12 @@ def bench_target(params, ravel, fns, target=1.0, max_steps=30):
 
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "all"
+    # optional scale overrides, e.g. a GPT-2-small-class trunk:
+    #   python benchmarks/decoder_lm_bench.py step 768 12 3072 12 16
+    if len(sys.argv) > 2:
+        D_MODEL, LAYERS, D_FF, HEADS, BATCH = (
+            int(v) for v in sys.argv[2:7]
+        )
     params, ravel, fns = setup()
     if mode in ("matvec", "all"):
         bench_matvec(params, ravel, fns)

@@ -117,8 +117,10 @@ def bench_matvec(params, ravel, fns):
     )
 
 
-def bench_step(params, ravel, fns, n_steps=5):
-    config = HFConfig(damping=1.0, cg_max_iter=50)
+def bench_step(params, ravel, fns, n_steps=5, curvature_dtype=None):
+    config = HFConfig(
+        damping=1.0, cg_max_iter=50, curvature_dtype=curvature_dtype
+    )
     step = make_hf_step(fns, config, ravel)
     state = init_state(ravel, config)
     batch = make_batch(jax.random.PRNGKey(2))
@@ -178,6 +180,9 @@ if __name__ == "__main__":
     if mode in ("matvec", "all"):
         bench_matvec(params, ravel, fns)
     if mode in ("step", "all"):
-        bench_step(params, ravel, fns)
+        bench_step(
+            params, ravel, fns,
+            curvature_dtype="bfloat16" if "bf16" in sys.argv else None,
+        )
     if mode in ("target", "all"):
         bench_target(params, ravel, fns)

@@ -98,6 +98,12 @@ CONFIGS = {
         256, (4096, 8192, 8192, 8192, 8192, 16),
         cg=CGConfig(store_dtype="bfloat16"),
     ),
+    # ~302M: beyond the 235M cg50 wall; probe whether the CG budget knob
+    # (fewer grid rows at cg_max_iter=25) + bf16 grid + donation fits it
+    "mlp_300m_bf16grid": lambda: _bigmlp(
+        256, (4096, 8192, 8192, 8192, 8192, 8192, 16),
+        cg=CGConfig(store_dtype="bfloat16"),
+    ),
     # ~470M params: 11 GB of f32 grid rows at cg50 -- needs every knob
     "mlp_470m_bf16grid": lambda: _bigmlp(
         128, (8192, 12288, 12288, 12288, 12288, 16),

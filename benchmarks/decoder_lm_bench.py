@@ -40,6 +40,7 @@ NUM_MATVECS = 50
 D_MODEL, LAYERS, D_FF, HEADS = 512, 6, 2048, 8
 VOCAB, T = 1024, 128
 BATCH = 32
+REMAT = False
 A, B = 37, 11  # affine rule coefficients (gcd(A, VOCAB)=1 -> a permutation)
 
 
@@ -53,7 +54,8 @@ def make_batch(key, batch=None):
     return tokens, tokens  # (inputs, targets): loss reads raw tokens
 
 
-def setup():
+def setup(remat=None):
+    remat = REMAT if remat is None else remat
     key = jax.random.PRNGKey(0)
     params = init_decoder_lm(
         key, vocab=VOCAB, d_model=D_MODEL, n_heads=HEADS, n_layers=LAYERS,
@@ -62,12 +64,14 @@ def setup():
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
     ravel = TrainableRavel(params, pad_to_multiple=1024)
     fns = HFModelFns(
-        model_fn=lambda p, x: decoder_lm_apply(p, x, n_heads=HEADS),
+        model_fn=lambda p, x, _r=remat: decoder_lm_apply(
+            p, x, n_heads=HEADS, remat=_r
+        ),
         loss_outer=next_token_loss,
     )
     print(
         f"decoder LM {n_params / 1e6:.1f}M params (tied head), b{BATCH} "
-        f"seq{T}, platform {jax.devices()[0].platform}",
+        f"seq{T}, remat {remat}, platform {jax.devices()[0].platform}",
         flush=True,
     )
     return params, ravel, fns
@@ -170,12 +174,26 @@ def bench_target(params, ravel, fns, target=1.0, max_steps=30):
 
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "all"
-    # optional scale overrides, e.g. a GPT-2-small-class trunk:
+    # optional scale overrides (trailing numbers; flags "remat"/"bf16" go
+    # anywhere), e.g. a GPT-2-small-class trunk:
     #   python benchmarks/decoder_lm_bench.py step 768 12 3072 12 16
-    if len(sys.argv) > 2:
-        D_MODEL, LAYERS, D_FF, HEADS, BATCH = (
-            int(v) for v in sys.argv[2:7]
-        )
+    # or a long-sequence point (seq is the optional 6th number):
+    #   python benchmarks/decoder_lm_bench.py step 512 6 2048 8 4 1024 remat
+    nums = [int(v) for v in sys.argv[2:] if v.isdigit()]
+    if nums:
+        D_MODEL, LAYERS, D_FF, HEADS, BATCH = nums[:5]
+        if len(nums) > 5:
+            T = nums[5]
+    REMAT = "remat" in sys.argv
+    if mode == "rematab":
+        # in-process remat A/B at one config (cross-process timings drift)
+        params, ravel, fns = setup(remat=False)
+        print("--- remat OFF ---", flush=True)
+        bench_step(params, ravel, fns)
+        _, _, fns_r = setup(remat=True)
+        print("--- remat ON ---", flush=True)
+        bench_step(params, ravel, fns_r)
+        sys.exit(0)
     params, ravel, fns = setup()
     if mode in ("matvec", "all"):
         bench_matvec(params, ravel, fns)

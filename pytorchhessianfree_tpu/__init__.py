@@ -53,6 +53,13 @@ from .optimizer import (
     make_hf_step,
     make_hf_train_loop,
 )
+from .interop import (
+    flax_fns,
+    flax_state_update,
+    haiku_fns,
+    haiku_state_update,
+    split_flax_variables,
+)
 from .utils.flatten import TrainableRavel
 
 __version__ = "0.1.0"
@@ -101,4 +108,9 @@ __all__ = [
     "weighted_fns",
     "EMADiag",
     "TrainableRavel",
+    "flax_fns",
+    "flax_state_update",
+    "haiku_fns",
+    "haiku_state_update",
+    "split_flax_variables",
 ]

@@ -41,6 +41,7 @@ D_MODEL, LAYERS, D_FF, HEADS = 512, 6, 2048, 8
 VOCAB, T = 1024, 128
 BATCH = 32
 REMAT = False
+ATTN_CHUNK = None
 A, B = 37, 11  # affine rule coefficients (gcd(A, VOCAB)=1 -> a permutation)
 
 
@@ -54,8 +55,12 @@ def make_batch(key, batch=None):
     return tokens, tokens  # (inputs, targets): loss reads raw tokens
 
 
-def setup(remat=None):
+_UNSET = object()
+
+
+def setup(remat=None, attn_chunk=_UNSET):
     remat = REMAT if remat is None else remat
+    attn_chunk = ATTN_CHUNK if attn_chunk is _UNSET else attn_chunk
     key = jax.random.PRNGKey(0)
     params = init_decoder_lm(
         key, vocab=VOCAB, d_model=D_MODEL, n_heads=HEADS, n_layers=LAYERS,
@@ -64,14 +69,15 @@ def setup(remat=None):
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
     ravel = TrainableRavel(params, pad_to_multiple=1024)
     fns = HFModelFns(
-        model_fn=lambda p, x, _r=remat: decoder_lm_apply(
-            p, x, n_heads=HEADS, remat=_r
+        model_fn=lambda p, x, _r=remat, _c=attn_chunk: decoder_lm_apply(
+            p, x, n_heads=HEADS, remat=_r, attn_chunk=_c
         ),
         loss_outer=next_token_loss,
     )
     print(
         f"decoder LM {n_params / 1e6:.1f}M params (tied head), b{BATCH} "
-        f"seq{T}, remat {remat}, platform {jax.devices()[0].platform}",
+        f"seq{T}, remat {remat}, attn_chunk {attn_chunk}, "
+        f"platform {jax.devices()[0].platform}",
         flush=True,
     )
     return params, ravel, fns
@@ -185,6 +191,19 @@ if __name__ == "__main__":
         if len(nums) > 5:
             T = nums[5]
     REMAT = "remat" in sys.argv
+    for tok in sys.argv[2:]:
+        if tok.startswith("chunk") and tok[5:].isdigit():
+            ATTN_CHUNK = int(tok[5:])
+    if mode == "chunkab":
+        # in-process full-vs-chunked attention A/B at one config
+        # (pass chunkN on the CLI to pick the chunk size)
+        params, ravel, fns = setup(attn_chunk=None)
+        print("--- full attention ---", flush=True)
+        bench_step(params, ravel, fns)
+        _, _, fns_c = setup(attn_chunk=ATTN_CHUNK or 256)
+        print(f"--- chunked attention ({ATTN_CHUNK or 256}) ---", flush=True)
+        bench_step(params, ravel, fns_c)
+        sys.exit(0)
     if mode == "rematab":
         # in-process remat A/B at one config (cross-process timings drift)
         params, ravel, fns = setup(remat=False)

@@ -90,7 +90,75 @@ def init_transformer(
     return params
 
 
-def _block(blk, x, n_heads: int, causal: bool = False):
+def _attend(q, k, v, causal: bool, q_offset: int = 0):
+    """Softmax attention for a (chunk of) queries against ALL keys.
+
+    ``q``: [N, H, Tq, dh]; ``k``/``v``: [N, H, Tk, dh] -> [N, H, Tq, dh].
+    ``q_offset`` is the global position of q's first row (for the causal
+    mask when q is a chunk of a longer sequence).
+    """
+    d_head = q.shape[-1]
+    # accumulate scores in >= f32 (bf16 inputs accumulate f32 on the MXU);
+    # f64 stays f64 so the f64 parity oracles are exact
+    acc = jnp.promote_types(q.dtype, jnp.float32)
+    scores = jnp.einsum(
+        "nhqd,nhkd->nhqk", q, k, preferred_element_type=acc
+    ).astype(q.dtype) / jnp.sqrt(jnp.asarray(d_head, q.dtype))
+    if causal:
+        Tq, Tk = scores.shape[-2], scores.shape[-1]
+        rows = q_offset + jax.lax.broadcasted_iota(jnp.int32, (Tq, Tk), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (Tq, Tk), 1)
+        scores = jnp.where(
+            cols <= rows, scores, jnp.asarray(-1e30, scores.dtype)
+        )
+    attn = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("nhqk,nhkd->nhqd", attn, v)
+
+
+def _chunked_attention(q, k, v, causal: bool, chunk: int):
+    """Query-chunked attention: ``lax.scan`` over row blocks of the score
+    matrix, each block rematerialized (``jax.checkpoint``).
+
+    Identical numerics to full attention -- softmax rows are independent,
+    so row-partitioning changes nothing (pinned by tests at f64) -- but the
+    [T, T] probability tensor is never alive at once: peak live memory is
+    O(chunk x T) per layer instead of O(T^2), in the forward, the backward
+    AND the curvature jvp/vjp passes (the chunk body is re-run per block on
+    the way back instead of saving its probabilities).  This is the
+    memory-efficient-attention recipe (row-blocked softmax) in pure JAX --
+    jvp/vjp-transparent, so GGN/Hessian matvecs flow through it unchanged,
+    where a custom attention kernel would break forward-mode autodiff.
+
+    The causal mask is applied per block against global row indices.  The
+    scan carries nothing; blocks are the scan's xs/ys, so XLA keeps each
+    block's einsums MXU-shaped ([chunk, T] x [T, dh]).
+    """
+    N, H, T, dh = q.shape
+    n_chunks, rem = divmod(T, chunk)
+    if rem:
+        raise ValueError(
+            f"attn_chunk={chunk} must divide the sequence length {T}"
+        )
+    # [N, H, T, dh] -> [n_chunks, N, H, chunk, dh] (scan axis in front)
+    q_blocks = jnp.moveaxis(
+        q.reshape(N, H, n_chunks, chunk, dh), 2, 0
+    )
+
+    @jax.checkpoint
+    def body(_, qc_i):
+        qc, i = qc_i
+        out = _attend(qc, k, v, causal, q_offset=i * chunk)
+        return None, out
+
+    _, out_blocks = jax.lax.scan(
+        body, None, (q_blocks, jnp.arange(n_chunks, dtype=jnp.int32))
+    )
+    return jnp.moveaxis(out_blocks, 0, 2).reshape(N, H, T, dh)
+
+
+def _block(
+    blk, x, n_heads: int, causal: bool = False, attn_chunk=None
+):
     """One pre-LN attention + MLP residual block: [N, T, d] -> [N, T, d]."""
     N, T, d_model = x.shape
     d_head = d_model // n_heads
@@ -103,14 +171,10 @@ def _block(blk, x, n_heads: int, causal: bool = False):
         return t.reshape(N, T, n_heads, d_head).transpose(0, 2, 1, 3)
 
     q, k, v = heads(q), heads(k), heads(v)
-    scores = jnp.einsum(
-        "nhqd,nhkd->nhqk", q, k, preferred_element_type=jnp.float32
-    ).astype(x.dtype) / jnp.sqrt(jnp.asarray(d_head, x.dtype))
-    if causal:
-        mask = jnp.tril(jnp.ones((T, T), bool))
-        scores = jnp.where(mask, scores, jnp.asarray(-1e30, scores.dtype))
-    attn = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("nhqk,nhkd->nhqd", attn, v)
+    if attn_chunk is not None and attn_chunk < T:
+        out = _chunked_attention(q, k, v, causal, attn_chunk)
+    else:
+        out = _attend(q, k, v, causal)
     out = out.transpose(0, 2, 1, 3).reshape(N, T, d_model)
     x = x + _apply_dense(blk["proj"], out)
 
@@ -125,21 +189,23 @@ def stack_blocks(blocks):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
 
 
-def _run_blocks(blocks, x, n_heads, scan_layers, remat, causal=False):
+def _run_blocks(
+    blocks, x, n_heads, scan_layers, remat, causal=False, attn_chunk=None
+):
     if not blocks:
         return x
     if not scan_layers:
         for blk in blocks:
             if remat:
                 x = jax.checkpoint(
-                    lambda b, t: _block(b, t, n_heads, causal)
+                    lambda b, t: _block(b, t, n_heads, causal, attn_chunk)
                 )(blk, x)
             else:
-                x = _block(blk, x, n_heads, causal)
+                x = _block(blk, x, n_heads, causal, attn_chunk)
         return x
 
     def body(carry, blk):
-        return _block(blk, carry, n_heads, causal), None
+        return _block(blk, carry, n_heads, causal, attn_chunk), None
 
     if remat:
         body = jax.checkpoint(body)
@@ -153,6 +219,7 @@ def transformer_apply(
     n_heads: int = 4,
     scan_layers: bool = True,
     remat: bool = False,
+    attn_chunk: int | None = None,
 ) -> jax.Array:
     """Forward pass.  ``tokens``: [N, T] int32 -> [N, num_classes] logits.
 
@@ -163,10 +230,16 @@ def transformer_apply(
     ~1e-12 agreement of forward/grad/GGN-matvec; exact bits differ only
     through XLA fusion choices).  ``remat=True`` wraps the block in
     ``jax.checkpoint`` (per-layer activation rematerialization).
+    ``attn_chunk`` row-blocks the attention softmax (``_chunked_attention``)
+    so peak live memory per layer is O(chunk x T) instead of O(T^2) --
+    identical numerics, composes with ``remat`` and ``scan_layers``.
     """
     T = tokens.shape[1]
     x = params["embed"][tokens] + params["pos"][:T]
-    x = _run_blocks(params["blocks"], x, n_heads, scan_layers, remat)
+    x = _run_blocks(
+        params["blocks"], x, n_heads, scan_layers, remat,
+        attn_chunk=attn_chunk,
+    )
     pooled = jnp.mean(x, axis=1)
     return _apply_dense(params["head"], pooled)
 
@@ -219,13 +292,22 @@ def decoder_lm_apply(
     n_heads: int = 4,
     scan_layers: bool = True,
     remat: bool = False,
+    attn_chunk: int | None = None,
 ) -> jax.Array:
     """Causal forward pass.  ``tokens``: [N, T] int32 -> [N, T, vocab]
-    logits, position t predicting token t+1 (strictly causal attention)."""
+    logits, position t predicting token t+1 (strictly causal attention).
+
+    ``attn_chunk`` row-blocks the attention softmax (the causal mask is
+    applied per block against global positions): the [T, T] probability
+    tensor is never materialized, which is what extends the single-chip
+    sequence capacity past where even per-layer ``remat`` OOMs (the full
+    score block is otherwise live WITHIN one layer's fwd/jvp/vjp) --
+    measured in BENCH_DETAILS' sequence-scaling section."""
     T = tokens.shape[1]
     x = params["embed"][tokens] + params["pos"][:T]
     x = _run_blocks(
-        params["blocks"], x, n_heads, scan_layers, remat, causal=True
+        params["blocks"], x, n_heads, scan_layers, remat, causal=True,
+        attn_chunk=attn_chunk,
     )
     x = _layernorm(params["ln_f"], x)
     if "head" in params:

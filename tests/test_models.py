@@ -332,3 +332,145 @@ def test_resnet18_width_scale():
     out = resnet18_apply(tiny, x)
     assert out.shape == (2, 10)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_chunked_attention_matches_full():
+    """attn_chunk row-blocks the softmax; rows are independent so numerics
+    must match full attention at f64 for forward, gradient AND GGN matvec,
+    on both the encoder (bidirectional) and the causal decoder."""
+    from pytorchhessianfree_tpu.ops.curvature import ggnvp_fn
+    from pytorchhessianfree_tpu.models import (
+        decoder_lm_apply,
+        init_decoder_lm,
+        init_transformer,
+        next_token_loss,
+        transformer_apply,
+    )
+
+    key = jax.random.PRNGKey(11)
+    tokens = jax.random.randint(key, (3, 8), 0, 16)
+
+    # encoder
+    enc = init_transformer(
+        key, vocab=16, d_model=16, n_layers=2, d_ff=32, num_classes=4,
+        max_len=8, dtype=jnp.float64,
+    )
+    labels = jax.random.randint(jax.random.fold_in(key, 1), (3,), 0, 4)
+    out_full = transformer_apply(enc, tokens)
+    out_chunk = transformer_apply(enc, tokens, attn_chunk=2)
+    np.testing.assert_allclose(np.asarray(out_full), np.asarray(out_chunk),
+                               rtol=1e-12, atol=1e-14)
+
+    # decoder: forward + grad + GGN matvec through the chunked path
+    dec = init_decoder_lm(key, vocab=16, d_model=16, n_layers=2,
+                          d_ff=32, max_len=8, dtype=jnp.float64)
+    results = {}
+    for chunk in (None, 2, 4):
+        loss, _, grad, gv = ggnvp_fn(
+            lambda p: decoder_lm_apply(p, tokens, attn_chunk=chunk),
+            lambda o: next_token_loss(o, tokens),
+            dec,
+        )
+        v = jax.tree_util.tree_map(jnp.ones_like, dec)
+        results[chunk] = (loss, grad, gv(v))
+    for chunk in (2, 4):
+        np.testing.assert_allclose(results[None][0], results[chunk][0],
+                                   rtol=1e-13)
+        for a, b in zip(jax.tree_util.tree_leaves(results[None][1:]),
+                        jax.tree_util.tree_leaves(results[chunk][1:])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-11, atol=1e-12)
+
+    # encoder grad parity too (bidirectional softmax rows)
+    def enc_loss(p, chunk):
+        return cross_entropy_loss(
+            transformer_apply(p, tokens, attn_chunk=chunk), labels
+        )
+
+    g_full = jax.grad(lambda p: enc_loss(p, None))(enc)
+    g_chunk = jax.grad(lambda p: enc_loss(p, 2))(enc)
+    for a, b in zip(jax.tree_util.tree_leaves(g_full),
+                    jax.tree_util.tree_leaves(g_chunk)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-11, atol=1e-12)
+
+
+def test_chunked_attention_preserves_causality():
+    """The per-block causal mask must reproduce strict causality across
+    chunk boundaries: perturbing the last token leaves logits at earlier
+    positions unchanged."""
+    from pytorchhessianfree_tpu.models import decoder_lm_apply, init_decoder_lm
+
+    key = jax.random.PRNGKey(12)
+    params = init_decoder_lm(key, vocab=16, d_model=16, n_layers=2,
+                             d_ff=32, max_len=12)
+    tokens = jax.random.randint(key, (3, 12), 0, 16)
+    perturbed = tokens.at[:, -1].set((tokens[:, -1] + 1) % 16)
+    a = decoder_lm_apply(params, tokens, attn_chunk=4)
+    b = decoder_lm_apply(params, perturbed, attn_chunk=4)
+    np.testing.assert_array_equal(np.asarray(a[:, :-1, :]),
+                                  np.asarray(b[:, :-1, :]))
+    assert not np.allclose(np.asarray(a[:, -1, :]), np.asarray(b[:, -1, :]))
+
+
+def test_chunked_attention_rejects_non_dividing_chunk():
+    from pytorchhessianfree_tpu.models import decoder_lm_apply, init_decoder_lm
+
+    key = jax.random.PRNGKey(13)
+    params = init_decoder_lm(key, vocab=16, d_model=16, n_layers=1,
+                             d_ff=32, max_len=10)
+    tokens = jax.random.randint(key, (2, 10), 0, 16)
+    with pytest.raises(ValueError, match="must divide"):
+        decoder_lm_apply(params, tokens, attn_chunk=3)
+
+
+def test_chunked_attention_composes_with_remat_and_trains():
+    """attn_chunk + per-layer remat + scan_layers together, through a full
+    HF step: gradient parity with the plain path, and the loss decreases."""
+    from pytorchhessianfree_tpu import (
+        HFConfig,
+        HFModelFns,
+        TrainableRavel,
+        init_state,
+        make_hf_step,
+    )
+    from pytorchhessianfree_tpu.models import (
+        decoder_lm_apply,
+        init_decoder_lm,
+        next_token_loss,
+    )
+
+    key = jax.random.PRNGKey(14)
+    params = init_decoder_lm(key, vocab=16, d_model=16, n_layers=2,
+                             d_ff=32, max_len=8, dtype=jnp.float64)
+    tokens = jax.random.randint(key, (4, 8), 0, 16)
+
+    def loss_of(p, **kw):
+        return next_token_loss(decoder_lm_apply(p, tokens, **kw), tokens)
+
+    g0 = jax.grad(lambda p: loss_of(p))(params)
+    g1 = jax.grad(
+        lambda p: loss_of(p, attn_chunk=2, remat=True)
+    )(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-11, atol=1e-12)
+
+    fns = HFModelFns(
+        model_fn=lambda p, x: decoder_lm_apply(
+            p, x, attn_chunk=2, remat=True
+        ),
+        loss_outer=next_token_loss,
+    )
+    config = HFConfig(damping=1.0, cg_max_iter=15)
+    ravel = TrainableRavel(params)
+    step = make_hf_step(fns, config, ravel)
+    state = init_state(ravel, config)
+    p, s = params, state
+    first = last = None
+    for _ in range(2):
+        p, s, stats = step(p, s, (tokens, tokens))
+        first = float(stats.init_loss) if first is None else first
+        last = float(stats.final_loss)
+    assert last < first

@@ -209,6 +209,48 @@ def build_programs(n_devices=8):
         step2.lower(*args2).compile().as_text(),
         ravel.dim,
     )
+
+    # --- context parallel: decoder-LM tokens sharded along T over model --
+    # (batch_specs=P(None, "model") layout; attention is the only op that
+    # mixes positions, so any all-gather beyond the DP/2-D baseline is the
+    # per-layer k/v gather)
+    from pytorchhessianfree_tpu.models import (
+        decoder_lm_apply,
+        init_decoder_lm,
+        next_token_loss,
+    )
+
+    dparams = init_decoder_lm(
+        key, vocab=256, d_model=128, n_heads=4, n_layers=2, d_ff=256,
+        max_len=128,
+    )
+    dfns = HFModelFns(
+        model_fn=lambda p, t: decoder_lm_apply(p, t, n_heads=4),
+        loss_outer=next_token_loss,
+    )
+    dravel = TrainableRavel(dparams, pad_to_multiple=1024)
+    dconfig = HFConfig(damping=1.0, cg_max_iter=50)
+    (
+        dconfig, _, drepl, dvec_s, _, dshard_vec, dshard_buf, dstate_s,
+    ) = _prepare(dconfig, dravel, mesh2, "data", "model")
+    tokens = jax.random.randint(key, (8, 128), 0, 256)
+    tok_s = NamedSharding(mesh2, P(None, "model"))
+    dstep = jax.jit(
+        functools.partial(
+            hf_step, fns=dfns, config=dconfig, ravel=dravel,
+            shard_vec=dshard_vec, shard_buf=dshard_buf,
+        ),
+        out_shardings=(drepl, dstate_s, drepl),
+    )
+    dargs = (
+        jax.device_put(dparams, drepl),
+        jax.device_put(init_state(dravel, dconfig), dstate_s),
+        (jax.device_put(tokens, tok_s), jax.device_put(tokens, tok_s)),
+    )
+    out["cp_decoder_seq_over_model4"] = (
+        dstep.lower(*dargs).compile().as_text(),
+        dravel.dim,
+    )
     return out, mesh2
 
 

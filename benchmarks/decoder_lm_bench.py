@@ -195,14 +195,23 @@ if __name__ == "__main__":
         if tok.startswith("chunk") and tok[5:].isdigit():
             ATTN_CHUNK = int(tok[5:])
     if mode == "chunkab":
-        # in-process full-vs-chunked attention A/B at one config
-        # (pass chunkN on the CLI to pick the chunk size)
+        # in-process baseline-vs-chunked attention A/B at one config.
+        # Baseline = full attention with the CLI's remat flag (pass
+        # "remat" to make the baseline the per-layer-remat rescue at
+        # sequence lengths where plain full attention OOMs); the chunked
+        # variant runs WITHOUT layer remat (the chunk body's own
+        # jax.checkpoint already rematerializes attention).  Pass chunkN
+        # to pick the chunk size, stepsN for the per-variant step count.
+        n_steps = 5
+        for tok in sys.argv[2:]:
+            if tok.startswith("steps") and tok[5:].isdigit():
+                n_steps = int(tok[5:])
         params, ravel, fns = setup(attn_chunk=None)
-        print("--- full attention ---", flush=True)
-        bench_step(params, ravel, fns)
-        _, _, fns_c = setup(attn_chunk=ATTN_CHUNK or 256)
+        print(f"--- full attention (remat {REMAT}) ---", flush=True)
+        bench_step(params, ravel, fns, n_steps=n_steps)
+        _, _, fns_c = setup(remat=False, attn_chunk=ATTN_CHUNK or 256)
         print(f"--- chunked attention ({ATTN_CHUNK or 256}) ---", flush=True)
-        bench_step(params, ravel, fns_c)
+        bench_step(params, ravel, fns_c, n_steps=n_steps)
         sys.exit(0)
     if mode == "rematab":
         # in-process remat A/B at one config (cross-process timings drift)

@@ -8,7 +8,13 @@ Task: an affine next-token rule tok[t+1] = (a*tok[t] + b) mod V, fully
 learnable, init loss ~ ln(V).
 
 Run with `--cpu` anywhere; without it, the step runs on the TPU.
+`--chunk N` row-blocks the attention softmax (``attn_chunk``) -- identical
+numerics, O(chunk x T) live attention memory: the long-sequence lever
+(see BENCH_DETAILS' sequence-scaling section for the measured capacity
+extension).
 """
+
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +43,11 @@ def make_batch(key):
 
 
 if __name__ == "__main__":
-    print(f"Running decoder LM HF on {jax.devices()[0].platform}")
+    attn_chunk = None
+    if "--chunk" in sys.argv:
+        attn_chunk = int(sys.argv[sys.argv.index("--chunk") + 1])
+    print(f"Running decoder LM HF on {jax.devices()[0].platform}"
+          + (f" (attn_chunk={attn_chunk})" if attn_chunk else ""))
     key = jax.random.PRNGKey(0)
     params = init_decoder_lm(
         key, vocab=VOCAB, d_model=32, n_layers=2, d_ff=64, max_len=T
@@ -48,7 +58,9 @@ if __name__ == "__main__":
 
     opt = HessianFree(
         params,
-        model_fn=lambda p, toks: decoder_lm_apply(p, toks, n_heads=4),
+        model_fn=lambda p, toks: decoder_lm_apply(
+            p, toks, n_heads=4, attn_chunk=attn_chunk
+        ),
         loss_outer=next_token_loss,
         damping=1.0,
         cg_max_iter=30,

@@ -53,6 +53,29 @@ def _ln_init(d, dtype):
     return {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)}
 
 
+def _embed(params, tokens, onehot: bool):
+    """Token embedding: a row gather, or the gather-free one-hot matmul.
+
+    ``onehot=True`` computes ``one_hot(tokens) @ embed`` -- identical
+    values in every dtype (the products are exact 0/1 selections), but
+    expressed as a matmul, so its transpose in grad/curvature passes is a
+    matmul instead of a scatter-add.  This is the context-parallel knob:
+    XLA's SPMD partitioner CHECK-crashes on the curvature program's
+    variadic embedding-grad scatter when the token array is sharded along
+    BOTH its batch and sequence axes (uneven-tiling pad of a tuple
+    constant in ``PadBaseShapeBeforeUnevenTiledSharding``); the one-hot
+    form has no scatter to partition.  Single-axis shardings (batch-only
+    DP, or sequence-only over the model axis) partition the gather form
+    fine -- see parallel/sharded.py ``batch_specs``.
+    """
+    if onehot:
+        oh = jax.nn.one_hot(
+            tokens, params["embed"].shape[0], dtype=params["embed"].dtype
+        )
+        return oh @ params["embed"]
+    return params["embed"][tokens]
+
+
 def init_transformer(
     key,
     vocab: int = 64,
@@ -220,6 +243,7 @@ def transformer_apply(
     scan_layers: bool = True,
     remat: bool = False,
     attn_chunk: int | None = None,
+    embed_onehot: bool = False,
 ) -> jax.Array:
     """Forward pass.  ``tokens``: [N, T] int32 -> [N, num_classes] logits.
 
@@ -233,9 +257,11 @@ def transformer_apply(
     ``attn_chunk`` row-blocks the attention softmax (``_chunked_attention``)
     so peak live memory per layer is O(chunk x T) instead of O(T^2) --
     identical numerics, composes with ``remat`` and ``scan_layers``.
+    ``embed_onehot`` switches the token embedding to the gather-free
+    one-hot matmul (see ``_embed`` -- the 2-D-sharded-tokens knob).
     """
     T = tokens.shape[1]
-    x = params["embed"][tokens] + params["pos"][:T]
+    x = _embed(params, tokens, embed_onehot) + params["pos"][:T]
     x = _run_blocks(
         params["blocks"], x, n_heads, scan_layers, remat,
         attn_chunk=attn_chunk,
@@ -293,18 +319,24 @@ def decoder_lm_apply(
     scan_layers: bool = True,
     remat: bool = False,
     attn_chunk: int | None = None,
+    embed_onehot: bool = False,
 ) -> jax.Array:
     """Causal forward pass.  ``tokens``: [N, T] int32 -> [N, T, vocab]
     logits, position t predicting token t+1 (strictly causal attention).
 
     ``attn_chunk`` row-blocks the attention softmax (the causal mask is
     applied per block against global positions): the [T, T] probability
-    tensor is never materialized, which is what extends the single-chip
-    sequence capacity past where even per-layer ``remat`` OOMs (the full
-    score block is otherwise live WITHIN one layer's fwd/jvp/vjp) --
-    measured in BENCH_DETAILS' sequence-scaling section."""
+    tensor is never materialized in the forward, backward or curvature
+    passes.  Measured on the chip (BENCH_DETAILS sequence-scaling
+    section): at T>=1024 this is FASTER than full attention (the
+    probability tensors' HBM round-trip dominates), it trains the
+    long-sequence configs that compile-OOM without per-layer ``remat``,
+    and it beats the remat rescue at those lengths -- the default lever
+    for the sequence axis.  ``embed_onehot``
+    switches the token embedding to the gather-free one-hot matmul (see
+    ``_embed`` -- the 2-D-sharded-tokens knob)."""
     T = tokens.shape[1]
-    x = params["embed"][tokens] + params["pos"][:T]
+    x = _embed(params, tokens, embed_onehot) + params["pos"][:T]
     x = _run_blocks(
         params["blocks"], x, n_heads, scan_layers, remat, causal=True,
         attn_chunk=attn_chunk,
@@ -315,15 +347,26 @@ def decoder_lm_apply(
     return x @ params["embed"].T
 
 
-def next_token_loss(logits: jax.Array, tokens: jax.Array) -> jax.Array:
+def next_token_loss(
+    logits: jax.Array, tokens: jax.Array, onehot: bool = False
+) -> jax.Array:
     """Mean next-token cross-entropy: ``logits`` [N, T, V] at position t
     scored against ``tokens[:, t+1]``, averaged over all N*(T-1) positions.
 
     Mean reduction keeps the GGN scale batch-size invariant, matching the
     reference's mean-loss convention (reference optimizer.py:221-227 uses the
-    closure's own reduction; all examples use mean)."""
+    closure's own reduction; all examples use mean).
+
+    ``onehot=True`` selects the target log-probs by a one-hot contraction
+    instead of ``take_along_axis`` -- identical values, no gather, so the
+    loss partitions under 2-D-sharded tokens (same rationale and caveat as
+    ``_embed``; pair with ``embed_onehot=True``)."""
     pred = logits[:, :-1, :]
     tgt = tokens[:, 1:]
     logp = jax.nn.log_softmax(pred, axis=-1)
-    ll = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    if onehot:
+        oh = jax.nn.one_hot(tgt, logits.shape[-1], dtype=logp.dtype)
+        ll = jnp.sum(logp * oh, axis=-1)
+    else:
+        ll = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
     return -jnp.mean(ll)

@@ -57,6 +57,14 @@ def make_mesh(
     if devices is None:
         devices = jax.devices()
     if num_devices is not None:
+        if num_devices > len(devices):
+            raise ValueError(
+                f"make_mesh(num_devices={num_devices}) but only "
+                f"{len(devices)} device(s) are available -- a silently "
+                "smaller mesh would make every sharding spec a no-op "
+                "(on CPU, set XLA_FLAGS=--xla_force_host_platform_"
+                "device_count=N BEFORE jax initializes)."
+            )
         devices = devices[:num_devices]
     arr = np.asarray(devices)
     if shape is not None:

@@ -84,6 +84,42 @@ def _param_shardings(mesh: Mesh, params: Any, param_specs: Optional[Any]):
     )
 
 
+def _place_batch(mesh, batch, batch_specs, default_s, stacked=False):
+    """``device_put`` the batch pytree onto the mesh.
+
+    With ``batch_specs=None`` every leaf gets ``default_s`` (the batch axis
+    sharded over the data axis -- the plain-DP layout).  Otherwise
+    ``batch_specs`` is a TREE PREFIX of the batch structure whose leaves
+    are ``PartitionSpec``s / ``None`` (= replicated), the same prefix
+    semantics as ``param_specs``.  Specs describe ONE step's batch; when
+    ``stacked`` (acc_step chunks, train-loop time axis) the leading
+    stacking axis is prepended as unsharded automatically.
+
+    This is the context-parallelism hook: e.g. tokens ``[N, T]`` with
+    ``P("data", "model")`` shard the SEQUENCE axis over the model axis --
+    GSPMD partitions the position-wise model code for free and inserts
+    k/v all-gathers only where attention mixes positions.
+    """
+    if batch_specs is None:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, default_s), batch
+        )
+    is_spec = lambda s: s is None or isinstance(s, P)
+
+    def put(spec, subtree):
+        if spec is None:
+            s = NamedSharding(mesh, P())
+        else:
+            if stacked:
+                spec = P(*((None,) + tuple(spec)))
+            s = NamedSharding(mesh, spec)
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, s), subtree
+        )
+
+    return jax.tree_util.tree_map(put, batch_specs, batch, is_leaf=is_spec)
+
+
 def _prepare(
     config: HFConfig,
     ravel: TrainableRavel,
@@ -183,6 +219,7 @@ def make_sharded_hf_step(
     param_specs: Optional[Any] = None,
     precond_exponent: float = 0.75,
     donate: bool = False,
+    batch_specs: Optional[Any] = None,
 ):
     """Build the solver-state-sharded HF step over a (data x model) mesh.
 
@@ -190,7 +227,12 @@ def make_sharded_hf_step(
     (params, state, stats)`` with
 
     - batch sharded over ``data_axis`` (skipped when ``data_axis`` is None
-      or absent from the mesh -- pure model-axis sharding),
+      or absent from the mesh -- pure model-axis sharding), or per-leaf
+      with ``batch_specs`` (a tree prefix of ``PartitionSpec``s/``None``,
+      same prefix semantics as ``param_specs``) -- e.g. tokens ``[N, T]``
+      under ``P("data", "model")`` for context parallelism: the sequence
+      axis splits over the model axis, position-wise compute partitions
+      for free and GSPMD inserts the attention k/v all-gathers,
     - all flat CG vectors, the iterate-storage grid, the warm start carried
       in ``state.x0`` and the optional ``precond_diag`` sharded over
       ``model_axis``,
@@ -235,9 +277,7 @@ def make_sharded_hf_step(
     def step(params, state, batch, precond_diag=None):
         fn, params = placer.resolve(params)
         state = placer.place_state(state)
-        batch = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, batch_s), batch
-        )
+        batch = _place_batch(mesh, batch, batch_specs, batch_s)
         precond_diag, use_precond = placer.place_precond(precond_diag)
         return fn(params, state, batch, precond_diag, use_precond)
 
@@ -255,6 +295,7 @@ def make_sharded_hf_acc_step(
     reduction: str = "mean",
     precond_exponent: float = 0.75,
     mvp_amortize: bool = False,
+    batch_specs: Optional[Any] = None,
 ):
     """Accumulation x solver-state sharding: the stacked-datalist
     ``acc_step`` (reference optimizer.py:519-606) scanned C chunks deep in
@@ -263,7 +304,9 @@ def make_sharded_hf_acc_step(
 
     Returns ``step(params, state, loss_data, precond_diag=None)`` where
     ``loss_data`` is a stacked ``(xs [C, N, ...], ys [C, N, ...])`` pytree
-    (N divisible by the data-axis size).
+    (N divisible by the data-axis size).  ``batch_specs`` (tree prefix of
+    ``PartitionSpec``s) describes ONE chunk's leaves -- the stacked chunk
+    axis is prepended unsharded automatically.
     """
     from ..optimizer import hf_acc_step
 
@@ -311,8 +354,8 @@ def make_sharded_hf_acc_step(
             )
         fn, params = placer.resolve(params)
         state = placer.place_state(state)
-        loss_data = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, chunk_s), loss_data
+        loss_data = _place_batch(
+            mesh, loss_data, batch_specs, chunk_s, stacked=True
         )
         precond_diag, use_precond = placer.place_precond(precond_diag)
         return fn(params, state, loss_data, precond_diag, use_precond)
@@ -331,6 +374,7 @@ def make_sharded_hf_train_loop(
     precond_exponent: float = 0.75,
     donate: bool = False,
     precond_ema_decay: Optional[float] = None,
+    batch_specs: Optional[Any] = None,
 ):
     """Scan-of-steps training loop with the solver state sharded.
 
@@ -341,6 +385,9 @@ def make_sharded_hf_train_loop(
     ``model_axis`` and each step's batch sharded over ``data_axis``
     (``batches`` leaves are stacked ``[T, N, ...]``; the batch axis is the
     second one).  One dispatch per T steps; collectives by XLA.
+    ``batch_specs`` (tree prefix of ``PartitionSpec``s) describes ONE
+    step's batch leaves -- the stacked time axis is prepended unsharded
+    automatically.
 
     ``precond_ema_decay``: carry an EMA empirical-Fisher diagonal across
     the scanned steps (same semantics as ``make_hf_train_loop``); the EMA
@@ -441,8 +488,8 @@ def make_sharded_hf_train_loop(
     def loop(params, state, batches, ema_state=None):
         fn, params = placer.resolve(params)
         state = placer.place_state(state)
-        batches = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, batches_s), batches
+        batches = _place_batch(
+            mesh, batches, batch_specs, batches_s, stacked=True
         )
         if use_ema:
             if ema_state is None:

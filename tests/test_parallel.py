@@ -207,6 +207,11 @@ def test_mesh_nd_shapes():
     with pytest.raises(ValueError):
         make_mesh(8, axis_names=("data", "model"), shape=(3, 3))
 
+    # asking for more devices than exist must raise, not silently build a
+    # smaller mesh whose specs are all no-ops
+    with pytest.raises(ValueError, match="only"):
+        make_mesh(len(jax.devices()) + 1)
+
 
 def test_dp_acc_step_shardmap_matches_single_device():
     """shard_map acc x DP composition (VERDICT r1 next-round #7): stacked

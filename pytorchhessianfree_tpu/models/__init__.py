@@ -13,6 +13,7 @@ from .mlp import (
     mse_loss_sum,
     mse_per_sample,
 )
+from .moe import init_moe_decoder_lm, moe_decoder_lm_apply, moe_param_specs
 from .resnet import init_resnet18, resnet18_apply
 from .transformer import (
     decoder_lm_apply,
@@ -49,6 +50,9 @@ __all__ = [
     "init_decoder_lm",
     "decoder_lm_apply",
     "next_token_loss",
+    "init_moe_decoder_lm",
+    "moe_decoder_lm_apply",
+    "moe_param_specs",
     "quadratic_problem",
     "rosenbrock",
     "rosenbrock_problem",

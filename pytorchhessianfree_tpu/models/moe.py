@@ -1,0 +1,286 @@
+"""Mixture-of-Experts causal decoder LM (GShard-style einsum dispatch).
+
+The sparse-expert member of the model zoo -- no reference analog (the
+reference's models are MLPs and CNNs, reference examples/; this closes the
+"modern architecture" axis the same way the transformer family did).  The
+Hessian-free pipeline needs nothing special: routing is deterministic given
+(params, batch), the top-k masks are piecewise-constant (zero tangent), and
+the GGN's jvp/vjp flow through the gate probabilities and the expert MLPs
+-- CG's fixed-quadratic assumption holds exactly as for dense models.
+
+TPU-native formulation: routing is expressed as EINSUMS against 0/1
+dispatch/combine tensors (the Mesh-TensorFlow/GShard recipe), not gathers
+-- MXU-shaped, jvp/vjp-transparent, and GSPMD-partitionable.  Expert
+parallelism is just a ``param_specs`` entry sharding the expert axis of
+``w1``/``w2`` over the mesh (``moe_param_specs``); XLA inserts the
+dispatch collectives.  The dispatch tensors are ``[G, E, C]`` with
+``C ~ 2G/E`` (so ~2G^2 elements): the single-program formulation for
+framework scale -- the production-scale path (token grouping + all-to-all)
+shards G over the data axis first, which this layout composes with.
+
+Top-2 routing with per-expert capacity (tokens over capacity fall back to
+the residual stream), normalized top-2 gates, optional Switch-style
+load-balance auxiliary loss.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from .transformer import (
+    _apply_dense,
+    _attend,
+    _chunked_attention,
+    _dense,
+    _embed,
+    _layernorm,
+    _ln_init,
+    stack_blocks,
+)
+
+
+def init_moe_decoder_lm(
+    key,
+    vocab: int = 64,
+    d_model: int = 32,
+    n_heads: int = 4,
+    n_layers: int = 2,
+    d_ff: int = 64,
+    n_experts: int = 4,
+    max_len: int = 16,
+    dtype=jnp.float32,
+) -> Any:
+    """Causal decoder LM whose per-block FFN is a top-2 MoE layer.
+
+    Block params: attention as in ``models/transformer.py`` plus
+    ``gate`` [d_model, E] and batched expert MLPs ``w1`` [E, d_model, d_ff],
+    ``b1`` [E, d_ff], ``w2`` [E, d_ff, d_model], ``b2`` [E, d_model].
+    The head is tied to the embedding (``x @ embed.T``).
+    """
+    keys = jax.random.split(key, 3 + 6 * n_layers)
+    params = {
+        "embed": jax.random.normal(keys[0], (vocab, d_model), dtype) * 0.1,
+        "pos": jax.random.normal(keys[1], (max_len, d_model), dtype) * 0.02,
+        "blocks": [],
+        "ln_f": _ln_init(d_model, dtype),
+    }
+    ki = 2
+    for _ in range(n_layers):
+        kg, k1, k2 = keys[ki + 2], keys[ki + 3], keys[ki + 4]
+        params["blocks"].append(
+            {
+                "ln1": _ln_init(d_model, dtype),
+                "qkv": _dense(keys[ki], d_model, 3 * d_model, dtype),
+                "proj": _dense(keys[ki + 1], d_model, d_model, dtype),
+                "ln2": _ln_init(d_model, dtype),
+                "gate": jax.random.normal(kg, (d_model, n_experts), dtype)
+                / jnp.sqrt(jnp.asarray(d_model, dtype)),
+                "w1": jax.random.normal(
+                    k1, (n_experts, d_model, d_ff), dtype
+                ) / jnp.sqrt(jnp.asarray(d_model, dtype)),
+                "b1": jnp.zeros((n_experts, d_ff), dtype),
+                "w2": jax.random.normal(
+                    k2, (n_experts, d_ff, d_model), dtype
+                ) / jnp.sqrt(jnp.asarray(d_ff, dtype)),
+                "b2": jnp.zeros((n_experts, d_model), dtype),
+            }
+        )
+        ki += 6
+    return params
+
+
+def _top2_dispatch(probs, capacity: int):
+    """GShard top-2 dispatch/combine tensors from router probabilities.
+
+    ``probs``: [G, E] softmax outputs -> ``(dispatch [G, E, C] 0/1,
+    combine [G, E, C], aux scalar)``.  First-choice tokens claim expert
+    slots before second-choice tokens (cumsum position counters); a token
+    whose choice is over capacity loses that choice (both over -> the MoE
+    output is zero and the residual stream carries it).  Gates are the
+    two chosen probabilities renormalized to sum to one.  The masks and
+    slot positions are piecewise-constant in ``probs`` (zero tangent);
+    gradients and GGN tangents flow through the gate values in
+    ``combine``.  ``aux`` is the Switch load-balance loss
+    ``E * sum_e f_e * P_e`` (f_e = first-choice routing fraction, P_e =
+    mean router probability).
+    """
+    G, E = probs.shape
+    idx1 = jnp.argmax(probs, axis=-1)
+    mask1 = jax.nn.one_hot(idx1, E, dtype=probs.dtype)
+    probs_wo1 = probs * (1.0 - mask1)
+    idx2 = jnp.argmax(probs_wo1, axis=-1)
+    mask2 = jax.nn.one_hot(idx2, E, dtype=probs.dtype)
+
+    # slot position of every token within its chosen expert, first-choice
+    # tokens first (cumsum over the token axis = arrival order)
+    pos1 = jnp.cumsum(mask1, axis=0) - mask1
+    count1 = jnp.sum(mask1, axis=0, keepdims=True)
+    pos2 = jnp.cumsum(mask2, axis=0) - mask2 + count1
+
+    keep1 = mask1 * (pos1 < capacity)
+    keep2 = mask2 * (pos2 < capacity)
+
+    # scalar slot index per token (0 where not kept; masked below)
+    p1 = jnp.sum(pos1 * keep1, axis=-1).astype(jnp.int32)
+    p2 = jnp.sum(pos2 * keep2, axis=-1).astype(jnp.int32)
+    oh1 = jax.nn.one_hot(p1, capacity, dtype=probs.dtype)  # [G, C]
+    oh2 = jax.nn.one_hot(p2, capacity, dtype=probs.dtype)
+
+    g1 = jnp.sum(probs * mask1, axis=-1)
+    g2 = jnp.sum(probs * mask2, axis=-1)
+    denom = g1 + g2
+    denom = jnp.where(denom > 0, denom, jnp.ones_like(denom))
+    g1n, g2n = g1 / denom, g2 / denom
+
+    dispatch = (
+        keep1[:, :, None] * oh1[:, None, :]
+        + keep2[:, :, None] * oh2[:, None, :]
+    )
+    combine = (
+        (keep1 * g1n[:, None])[:, :, None] * oh1[:, None, :]
+        + (keep2 * g2n[:, None])[:, :, None] * oh2[:, None, :]
+    )
+
+    f = jnp.mean(mask1, axis=0)
+    P = jnp.mean(probs, axis=0)
+    aux = jnp.asarray(E, probs.dtype) * jnp.sum(f * P)
+    return dispatch, combine, aux
+
+
+def _moe_ffn(blk, h, capacity_factor: float):
+    """Top-2 MoE feed-forward over [N, T, d] activations -> (out, aux)."""
+    N, T, d = h.shape
+    E = blk["gate"].shape[-1]
+    G = N * T
+    capacity = int(math.ceil(capacity_factor * 2 * G / E))
+    hf = h.reshape(G, d)
+
+    logits = hf @ blk["gate"]
+    probs = jax.nn.softmax(logits, axis=-1)
+    dispatch, combine, aux = _top2_dispatch(probs, capacity)
+
+    xe = jnp.einsum("gec,gd->ecd", dispatch, hf)
+    h1 = jax.nn.gelu(
+        jnp.einsum("ecd,edf->ecf", xe, blk["w1"]) + blk["b1"][:, None, :]
+    )
+    ye = jnp.einsum("ecf,efd->ecd", h1, blk["w2"]) + blk["b2"][:, None, :]
+    out = jnp.einsum("gec,ecd->gd", combine, ye)
+    return out.reshape(N, T, d), aux
+
+
+def _moe_block(
+    blk, x, n_heads: int, capacity_factor: float, attn_chunk=None
+):
+    """Causal pre-LN attention + MoE-FFN residual block -> (x, aux)."""
+    N, T, d_model = x.shape
+    d_head = d_model // n_heads
+
+    h = _layernorm(blk["ln1"], x)
+    qkv = _apply_dense(blk["qkv"], h)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):
+        return t.reshape(N, T, n_heads, d_head).transpose(0, 2, 1, 3)
+
+    q, k, v = heads(q), heads(k), heads(v)
+    if attn_chunk is not None and attn_chunk < T:
+        out = _chunked_attention(q, k, v, True, attn_chunk)
+    else:
+        out = _attend(q, k, v, True)
+    out = out.transpose(0, 2, 1, 3).reshape(N, T, d_model)
+    x = x + _apply_dense(blk["proj"], out)
+
+    h = _layernorm(blk["ln2"], x)
+    moe_out, aux = _moe_ffn(blk, h, capacity_factor)
+    return x + moe_out, aux
+
+
+def moe_decoder_lm_apply(
+    params,
+    tokens: jax.Array,
+    n_heads: int = 4,
+    capacity_factor: float = 1.25,
+    scan_layers: bool = True,
+    remat: bool = False,
+    attn_chunk: int | None = None,
+    embed_onehot: bool = False,
+    return_aux: bool = False,
+):
+    """Causal forward pass.  ``tokens``: [N, T] int32 -> [N, T, vocab]
+    logits (tied embedding head); ``return_aux=True`` additionally returns
+    the mean Switch load-balance loss over the layers (fold it into the
+    training loss via ``loss_outer`` if desired -- the GGN treats it as
+    one more output block).
+
+    Knobs compose exactly as on ``decoder_lm_apply``: ``scan_layers``
+    (blocks as ONE ``lax.scan`` over stacked weights), ``remat``,
+    ``attn_chunk`` (row-blocked attention softmax), ``embed_onehot``
+    (gather-free embedding for 2-D-sharded tokens).
+    """
+    T = tokens.shape[1]
+    x = _embed(params, tokens, embed_onehot) + params["pos"][:T]
+    blocks = params["blocks"]
+
+    if not scan_layers:
+        aux_total = jnp.zeros((), x.dtype)
+        for blk in blocks:
+            if remat:
+                x, aux = jax.checkpoint(
+                    lambda b, t: _moe_block(
+                        b, t, n_heads, capacity_factor, attn_chunk
+                    )
+                )(blk, x)
+            else:
+                x, aux = _moe_block(
+                    blk, x, n_heads, capacity_factor, attn_chunk
+                )
+            aux_total = aux_total + aux
+        aux_mean = aux_total / len(blocks)
+    else:
+        stacked = stack_blocks(blocks)
+
+        def body(carry, blk):
+            out, aux = _moe_block(
+                blk, carry, n_heads, capacity_factor, attn_chunk
+            )
+            return out, aux
+
+        if remat:
+            body = jax.checkpoint(body)
+        x, auxs = jax.lax.scan(body, x, stacked)
+        aux_mean = jnp.mean(auxs)
+
+    x = _layernorm(params["ln_f"], x)
+    logits = x @ params["embed"].T
+    if return_aux:
+        return logits, aux_mean
+    return logits
+
+
+def moe_param_specs(n_layers: int):
+    """Expert-parallel ``param_specs`` for ``make_sharded_hf_step``: the
+    expert axis of every expert tensor shards over the ``model`` mesh axis;
+    attention, layernorms, gate and embeddings stay replicated (shard them
+    further with Megatron-style specs if desired).  The dispatch einsums
+    then partition over E and XLA inserts the token-exchange collectives
+    -- expert parallelism as a sharding annotation, not a new runtime.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    ep = {
+        "ln1": P(), "ln2": P(), "qkv": P(), "proj": P(), "gate": P(),
+        "w1": P("model", None, None),
+        "b1": P("model", None),
+        "w2": P("model", None, None),
+        "b2": P("model", None),
+    }
+    return {
+        "embed": P(),
+        "pos": P(),
+        "ln_f": P(),
+        "blocks": [dict(ep) for _ in range(n_layers)],
+    }

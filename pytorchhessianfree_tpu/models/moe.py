@@ -155,6 +155,12 @@ def _moe_ffn(blk, h, capacity_factor: float):
     """Top-2 MoE feed-forward over [N, T, d] activations -> (out, aux)."""
     N, T, d = h.shape
     E = blk["gate"].shape[-1]
+    if E < 2:
+        raise ValueError(
+            f"top-2 routing needs >= 2 experts, got {E} (the second "
+            "argmax over the first-choice-zeroed probabilities would "
+            "silently re-select the only expert)"
+        )
     G = N * T
     capacity = int(math.ceil(capacity_factor * 2 * G / E))
     hf = h.reshape(G, d)

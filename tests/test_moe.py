@@ -129,6 +129,17 @@ def test_moe_crowded_expert_drops_tokens():
     assert np.any(np.abs(ref) > 0)
 
 
+def test_moe_rejects_single_expert():
+    key = jax.random.PRNGKey(9)
+    params = init_moe_decoder_lm(
+        key, vocab=8, d_model=8, n_layers=1, d_ff=16, n_experts=1,
+        max_len=4,
+    )
+    toks = jax.random.randint(key, (2, 4), 0, 8)
+    with pytest.raises(ValueError, match=">= 2 experts"):
+        moe_decoder_lm_apply(params, toks, n_heads=2)
+
+
 def test_moe_scan_matches_unrolled_and_knobs_compose():
     key = jax.random.PRNGKey(2)
     params = init_moe_decoder_lm(

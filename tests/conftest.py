@@ -45,6 +45,7 @@ _SMOKE = (
     "test_stats_flags.py::test_nonpos_curvature_flag_through_step",
     "test_runtime_loader.py::test_device_prefetcher_error_propagates",
     "test_interop.py::test_flax_fns_batchnorm_state_frozen",
+    "test_moe.py::test_moe_ffn_matches_per_token_oracle",
 )
 
 

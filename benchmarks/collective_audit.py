@@ -251,6 +251,56 @@ def build_programs(n_devices=8):
         dstep.lower(*dargs).compile().as_text(),
         dravel.dim,
     )
+
+    # --- expert parallel: MoE decoder, expert axis over model=4 ---------
+    # (moe_param_specs layout; the dispatch einsums against the 0/1
+    # dispatch/combine tensors are what GSPMD partitions over E)
+    from pytorchhessianfree_tpu.models import (
+        init_moe_decoder_lm,
+        moe_decoder_lm_apply,
+        moe_param_specs,
+    )
+
+    n_layers = 2
+    mparams = init_moe_decoder_lm(
+        key, vocab=256, d_model=128, n_heads=4, n_layers=n_layers,
+        d_ff=256, n_experts=4, max_len=64,
+    )
+    mfns = HFModelFns(
+        model_fn=lambda p, t: moe_decoder_lm_apply(p, t, n_heads=4),
+        loss_outer=next_token_loss,
+    )
+    mravel = TrainableRavel(mparams, pad_to_multiple=1024)
+    mconfig = HFConfig(damping=1.0, cg_max_iter=50)
+    (
+        mconfig, _, mrepl, mvec_s, _, mshard_vec, mshard_buf, mstate_s,
+    ) = _prepare(mconfig, mravel, mesh2, "data", "model")
+    mspecs = moe_param_specs(n_layers)
+    mparams_s = jax.tree_util.tree_map(
+        lambda spec, sub: jax.tree_util.tree_map(
+            lambda _: NamedSharding(mesh2, spec), sub
+        ),
+        mspecs, mparams,
+        is_leaf=lambda s: isinstance(s, type(P())),
+    )
+    mtoks = jax.random.randint(key, (8, 64), 0, 256)
+    mtok_s = NamedSharding(mesh2, P("data"))
+    mstep = jax.jit(
+        functools.partial(
+            hf_step, fns=mfns, config=mconfig, ravel=mravel,
+            shard_vec=mshard_vec, shard_buf=mshard_buf,
+        ),
+        out_shardings=(mparams_s, mstate_s, mrepl),
+    )
+    margs = (
+        jax.tree_util.tree_map(jax.device_put, mparams, mparams_s),
+        jax.device_put(init_state(mravel, mconfig), mstate_s),
+        (jax.device_put(mtoks, mtok_s), jax.device_put(mtoks, mtok_s)),
+    )
+    out["ep_moe_experts_over_model4"] = (
+        mstep.lower(*margs).compile().as_text(),
+        mravel.dim,
+    )
     return out, mesh2
 
 

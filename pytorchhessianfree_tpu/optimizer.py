@@ -1163,6 +1163,10 @@ class HessianFree:
         param_specs: Optional pytree of ``PartitionSpec`` sharding the
             weights themselves (tensor parallelism; needs ``mesh`` with a
             model axis).
+        batch_specs: Optional tree prefix of ``PartitionSpec`` placing the
+            batch per leaf (context parallelism -- e.g. tokens ``[N, T]``
+            under ``P(None, "model")`` shard the sequence axis; see
+            ``parallel.sharded``).  Needs ``mesh`` with a model axis.
     """
 
     def __init__(
@@ -1179,6 +1183,7 @@ class HessianFree:
         data_axis: str = "data",
         model_axis: str = "model",
         param_specs=None,
+        batch_specs=None,
         **config_kwargs,
     ):
         if config is None:
@@ -1213,6 +1218,7 @@ class HessianFree:
         self._data_axis = data_axis
         self._model_axis = model_axis
         self._param_specs = param_specs
+        self._batch_specs = batch_specs
         if mesh is not None:
             if model_axis in mesh.axis_names:
                 from .parallel.sharded import make_sharded_hf_step
@@ -1220,13 +1226,13 @@ class HessianFree:
                 self._step = make_sharded_hf_step(
                     self.fns, config, self.ravel, mesh,
                     data_axis=data_axis, model_axis=model_axis,
-                    param_specs=param_specs,
+                    param_specs=param_specs, batch_specs=batch_specs,
                     precond_exponent=config.precond_exponent, donate=True,
                 )
             else:
-                if param_specs is not None:
+                if param_specs is not None or batch_specs is not None:
                     raise ValueError(
-                        "param_specs requires a mesh with a "
+                        "param_specs/batch_specs require a mesh with a "
                         f"{model_axis!r} axis."
                     )
                 from .parallel.data_parallel import make_dp_hf_step
@@ -1237,8 +1243,8 @@ class HessianFree:
                     precond_exponent=config.precond_exponent, donate=True,
                 )
         else:
-            if param_specs is not None:
-                raise ValueError("param_specs requires mesh.")
+            if param_specs is not None or batch_specs is not None:
+                raise ValueError("param_specs/batch_specs require mesh.")
             self._step = make_hf_step(
                 self.fns, config, self.ravel,
                 precond_exponent=config.precond_exponent, donate=True,
@@ -1454,6 +1460,7 @@ class HessianFree:
                         data_axis=self._data_axis,
                         model_axis=self._model_axis,
                         param_specs=self._param_specs,
+                        batch_specs=self._batch_specs,
                         reduction=reduction,
                         precond_exponent=self.config.precond_exponent,
                         mvp_amortize=mvp_amortize,
@@ -1522,6 +1529,7 @@ class HessianFree:
                         data_axis=self._data_axis,
                         model_axis=self._model_axis,
                         param_specs=self._param_specs,
+                        batch_specs=self._batch_specs,
                         precond_exponent=self.config.precond_exponent,
                         precond_ema_decay=precond_ema_decay,
                     )

@@ -613,6 +613,50 @@ def test_batch_specs_tree_prefix_and_stacked():
     assert tuple(batch[0].sharding.spec) == (None, "data", "model")
 
 
+def test_wrapper_batch_specs_context_parallel():
+    """HessianFree(mesh=, batch_specs=): the stateful wrapper runs the
+    context-parallel layout with an unchanged trajectory, and rejects
+    batch_specs without a mesh."""
+    from pytorchhessianfree_tpu import HessianFree
+    from pytorchhessianfree_tpu.models import (
+        decoder_lm_apply,
+        init_decoder_lm,
+        next_token_loss,
+    )
+
+    key = jax.random.PRNGKey(6)
+    params = init_decoder_lm(
+        key, vocab=12, d_model=16, n_layers=2, d_ff=32, max_len=8,
+        dtype=jnp.float64,
+    )
+    tokens = jax.random.randint(jax.random.PRNGKey(90), (4, 8), 0, 12)
+    mesh = make_mesh(8, axis_names=("data", "model"))
+    kw = dict(
+        model_fn=lambda p, t: decoder_lm_apply(p, t, n_heads=4),
+        loss_outer=next_token_loss,
+        damping=1.0, cg_max_iter=20,
+    )
+
+    opt_plain = HessianFree(params, **kw)
+    opt_cp = HessianFree(
+        params, mesh=mesh, batch_specs=P(None, "model"), **kw
+    )
+    for i in range(2):
+        t = jax.random.randint(jax.random.PRNGKey(91 + i), (4, 8), 0, 12)
+        opt_plain.step((t, t))
+        opt_cp.step((t, t))
+    _assert_params_close(opt_plain.params, opt_cp.params, atol=1e-7)
+    assert (opt_plain.history["num_cg_iters"]
+            == opt_cp.history["num_cg_iters"])
+
+    with pytest.raises(ValueError, match="batch_specs require"):
+        HessianFree(params, batch_specs=P(None, "model"), **kw)
+    with pytest.raises(ValueError, match="batch_specs require"):
+        HessianFree(
+            params, mesh=make_mesh(8), batch_specs=P(None, "model"), **kw
+        )
+
+
 def test_sharded_train_loop_context_parallel():
     """batch_specs through the scanned loop: per-step tokens T-sharded
     (the time axis prepended unsharded), trajectory unchanged."""

@@ -32,9 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from .transformer import (
-    _apply_dense,
-    _attend,
-    _chunked_attention,
+    _attention_sublayer,
     _dense,
     _embed,
     _layernorm,
@@ -182,24 +180,7 @@ def _moe_block(
     blk, x, n_heads: int, capacity_factor: float, attn_chunk=None
 ):
     """Causal pre-LN attention + MoE-FFN residual block -> (x, aux)."""
-    N, T, d_model = x.shape
-    d_head = d_model // n_heads
-
-    h = _layernorm(blk["ln1"], x)
-    qkv = _apply_dense(blk["qkv"], h)
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-
-    def heads(t):
-        return t.reshape(N, T, n_heads, d_head).transpose(0, 2, 1, 3)
-
-    q, k, v = heads(q), heads(k), heads(v)
-    if attn_chunk is not None and attn_chunk < T:
-        out = _chunked_attention(q, k, v, True, attn_chunk)
-    else:
-        out = _attend(q, k, v, True)
-    out = out.transpose(0, 2, 1, 3).reshape(N, T, d_model)
-    x = x + _apply_dense(blk["proj"], out)
-
+    x = _attention_sublayer(blk, x, n_heads, True, attn_chunk)
     h = _layernorm(blk["ln2"], x)
     moe_out, aux = _moe_ffn(blk, h, capacity_factor)
     return x + moe_out, aux

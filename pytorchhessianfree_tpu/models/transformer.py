@@ -179,10 +179,9 @@ def _chunked_attention(q, k, v, causal: bool, chunk: int):
     return jnp.moveaxis(out_blocks, 0, 2).reshape(N, H, T, dh)
 
 
-def _block(
-    blk, x, n_heads: int, causal: bool = False, attn_chunk=None
-):
-    """One pre-LN attention + MLP residual block: [N, T, d] -> [N, T, d]."""
+def _attention_sublayer(blk, x, n_heads: int, causal: bool, attn_chunk):
+    """Pre-LN multi-head attention with residual: [N, T, d] -> [N, T, d].
+    Shared by the dense block below and the MoE block (models/moe.py)."""
     N, T, d_model = x.shape
     d_head = d_model // n_heads
 
@@ -199,8 +198,14 @@ def _block(
     else:
         out = _attend(q, k, v, causal)
     out = out.transpose(0, 2, 1, 3).reshape(N, T, d_model)
-    x = x + _apply_dense(blk["proj"], out)
+    return x + _apply_dense(blk["proj"], out)
 
+
+def _block(
+    blk, x, n_heads: int, causal: bool = False, attn_chunk=None
+):
+    """One pre-LN attention + MLP residual block: [N, T, d] -> [N, T, d]."""
+    x = _attention_sublayer(blk, x, n_heads, causal, attn_chunk)
     h = _layernorm(blk["ln2"], x)
     h = jax.nn.gelu(_apply_dense(blk["ff1"], h))
     return x + _apply_dense(blk["ff2"], h)

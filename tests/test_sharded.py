@@ -613,6 +613,55 @@ def test_batch_specs_tree_prefix_and_stacked():
     assert tuple(batch[0].sharding.spec) == (None, "data", "model")
 
 
+def test_sharded_acc_step_batch_specs():
+    """batch_specs through the ACC step: each stacked chunk's tokens
+    sharded along T over the model axis (the prepended chunk axis stays
+    unsharded); trajectory == the single-device acc step."""
+    from pytorchhessianfree_tpu import hf_acc_step
+    from pytorchhessianfree_tpu.models import (
+        decoder_lm_apply,
+        init_decoder_lm,
+        next_token_loss,
+    )
+    from pytorchhessianfree_tpu.parallel.sharded import (
+        make_sharded_hf_acc_step,
+    )
+
+    key = jax.random.PRNGKey(8)
+    params = init_decoder_lm(
+        key, vocab=12, d_model=16, n_layers=1, d_ff=32, max_len=8,
+        dtype=jnp.float64,
+    )
+    fns = HFModelFns(
+        model_fn=lambda p, t: decoder_lm_apply(p, t, n_heads=4),
+        loss_outer=next_token_loss,
+    )
+    config = HFConfig(damping=1.0, cg_max_iter=15)
+    ravel = TrainableRavel(params, pad_to_multiple=8)
+    mesh = make_mesh(8, axis_names=("data", "model"))
+
+    toks = jnp.stack([
+        jax.random.randint(jax.random.PRNGKey(95 + i), (4, 8), 0, 12)
+        for i in range(2)
+    ])  # [C=2, N=4, T=8]
+    loss_data = (toks, toks)
+
+    import functools
+
+    single = jax.jit(functools.partial(
+        hf_acc_step, fns=fns, config=config, ravel=ravel,
+        loss_data=loss_data, reduction="mean",
+    ))
+    step_cp = make_sharded_hf_acc_step(
+        fns, config, ravel, mesh, reduction="mean",
+        batch_specs=P(None, "model"),
+    )
+    p_s, _, st_s = single(params, init_state(ravel, config))
+    p_m, _, st_m = step_cp(params, init_state(ravel, config), loss_data)
+    _assert_params_close(p_s, p_m, atol=1e-8)
+    assert int(st_s.num_cg_iters) == int(st_m.num_cg_iters)
+
+
 def test_wrapper_batch_specs_context_parallel():
     """HessianFree(mesh=, batch_specs=): the stateful wrapper runs the
     context-parallel layout with an unchanged trajectory, and rejects

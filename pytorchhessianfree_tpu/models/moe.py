@@ -13,10 +13,11 @@ dispatch/combine tensors (the Mesh-TensorFlow/GShard recipe), not gathers
 -- MXU-shaped, jvp/vjp-transparent, and GSPMD-partitionable.  Expert
 parallelism is just a ``param_specs`` entry sharding the expert axis of
 ``w1``/``w2`` over the mesh (``moe_param_specs``); XLA inserts the
-dispatch collectives.  The dispatch tensors are ``[G, E, C]`` with
-``C ~ 2G/E`` (so ~2G^2 elements): the single-program formulation for
-framework scale -- the production-scale path (token grouping + all-to-all)
-shards G over the data axis first, which this layout composes with.
+dispatch collectives.  The dispatch tensors are ``[S, Gg, E, C]`` with
+``C ~ 2Gg/E`` -- ``O(G^2 / S)`` elements for ``router_groups=S`` (GShard's
+per-group capacity; groups bound the router's memory, and at production
+scale the group axis is the data axis so GSPMD turns the dispatch into
+all-to-alls).
 
 Top-2 routing with per-expert capacity (tokens over capacity fall back to
 the residual stream), normalized top-2 gates, optional Switch-style
@@ -149,7 +150,7 @@ def _top2_dispatch(probs, capacity: int):
     return dispatch, combine, aux
 
 
-def _moe_ffn(blk, h, capacity_factor: float):
+def _moe_ffn(blk, h, capacity_factor: float, router_groups: int = 1):
     """Top-2 MoE feed-forward over [N, T, d] activations -> (out, aux)."""
     N, T, d = h.shape
     E = blk["gate"].shape[-1]
@@ -160,29 +161,48 @@ def _moe_ffn(blk, h, capacity_factor: float):
             "silently re-select the only expert)"
         )
     G = N * T
-    capacity = int(math.ceil(capacity_factor * 2 * G / E))
-    hf = h.reshape(G, d)
+    if G % router_groups != 0:
+        raise ValueError(
+            f"router_groups={router_groups} must divide the token count "
+            f"{G} (= batch {N} x seq {T})"
+        )
+    Gg = G // router_groups
+    capacity = int(math.ceil(capacity_factor * 2 * Gg / E))
+    # [S groups, Gg, d]: tokens compete for expert slots WITHIN their
+    # group only (GShard's per-group capacity -- groups=1 is the global
+    # single-program form).  The dispatch/combine tensors are
+    # [S, Gg, E, C] = O(G^2 / S) elements total, so groups scale the
+    # router's memory linearly down; at production scale the group axis
+    # is the data axis and GSPMD turns the dispatch into all-to-alls.
+    hg = h.reshape(router_groups, Gg, d)
 
-    logits = hf @ blk["gate"]
+    logits = jnp.einsum("sgd,de->sge", hg, blk["gate"])
     probs = jax.nn.softmax(logits, axis=-1)
-    dispatch, combine, aux = _top2_dispatch(probs, capacity)
+    dispatch, combine, aux = jax.vmap(
+        lambda p: _top2_dispatch(p, capacity)
+    )(probs)
+    aux = jnp.mean(aux)
 
-    xe = jnp.einsum("gec,gd->ecd", dispatch, hf)
+    xe = jnp.einsum("sgec,sgd->secd", dispatch, hg)
     h1 = jax.nn.gelu(
-        jnp.einsum("ecd,edf->ecf", xe, blk["w1"]) + blk["b1"][:, None, :]
+        jnp.einsum("secd,edf->secf", xe, blk["w1"])
+        + blk["b1"][None, :, None, :]
     )
-    ye = jnp.einsum("ecf,efd->ecd", h1, blk["w2"]) + blk["b2"][:, None, :]
-    out = jnp.einsum("gec,ecd->gd", combine, ye)
+    ye = jnp.einsum("secf,efd->secd", h1, blk["w2"]) + (
+        blk["b2"][None, :, None, :]
+    )
+    out = jnp.einsum("sgec,secd->sgd", combine, ye)
     return out.reshape(N, T, d), aux
 
 
 def _moe_block(
-    blk, x, n_heads: int, capacity_factor: float, attn_chunk=None
+    blk, x, n_heads: int, capacity_factor: float, attn_chunk=None,
+    router_groups: int = 1,
 ):
     """Causal pre-LN attention + MoE-FFN residual block -> (x, aux)."""
     x = _attention_sublayer(blk, x, n_heads, True, attn_chunk)
     h = _layernorm(blk["ln2"], x)
-    moe_out, aux = _moe_ffn(blk, h, capacity_factor)
+    moe_out, aux = _moe_ffn(blk, h, capacity_factor, router_groups)
     return x + moe_out, aux
 
 
@@ -191,6 +211,7 @@ def moe_decoder_lm_apply(
     tokens: jax.Array,
     n_heads: int = 4,
     capacity_factor: float = 1.25,
+    router_groups: int = 1,
     scan_layers: bool = True,
     remat: bool = False,
     attn_chunk: int | None = None,
@@ -201,7 +222,9 @@ def moe_decoder_lm_apply(
     logits (tied embedding head); ``return_aux=True`` additionally returns
     the mean Switch load-balance loss over the layers (fold it into the
     training loss via ``loss_outer`` if desired -- the GGN treats it as
-    one more output block).
+    one more output block).  ``router_groups=S`` routes with per-group
+    capacity over S equal slices of the flattened tokens (O(G^2/S)
+    dispatch memory; per-group-oracle-tested).
 
     Knobs compose exactly as on ``decoder_lm_apply``: ``scan_layers``
     (blocks as ONE ``lax.scan`` over stacked weights), ``remat``,
@@ -218,12 +241,14 @@ def moe_decoder_lm_apply(
             if remat:
                 x, aux = jax.checkpoint(
                     lambda b, t: _moe_block(
-                        b, t, n_heads, capacity_factor, attn_chunk
+                        b, t, n_heads, capacity_factor, attn_chunk,
+                        router_groups,
                     )
                 )(blk, x)
             else:
                 x, aux = _moe_block(
-                    blk, x, n_heads, capacity_factor, attn_chunk
+                    blk, x, n_heads, capacity_factor, attn_chunk,
+                    router_groups,
                 )
             aux_total = aux_total + aux
         aux_mean = aux_total / len(blocks)
@@ -232,7 +257,8 @@ def moe_decoder_lm_apply(
 
         def body(carry, blk):
             out, aux = _moe_block(
-                blk, carry, n_heads, capacity_factor, attn_chunk
+                blk, carry, n_heads, capacity_factor, attn_chunk,
+                router_groups,
             )
             return out, aux
 

@@ -129,6 +129,29 @@ def test_moe_crowded_expert_drops_tokens():
     assert np.any(np.abs(ref) > 0)
 
 
+def test_moe_router_groups_matches_per_group_oracle():
+    """router_groups=S partitions the flattened tokens into S groups with
+    per-group capacity: each group must independently equal the oracle run
+    on that group's tokens alone, and differ from the global routing when
+    an expert is crowded."""
+    key = jax.random.PRNGKey(21)
+    blk = _make_block(key, d=8, d_ff=16, E=4)
+    h = jax.random.normal(jax.random.fold_in(key, 1), (2, 8, 8),
+                          jnp.float64)  # G = 16 tokens
+    out, aux = _moe_ffn(blk, h, 0.5, router_groups=2)
+    hf = np.asarray(h, np.float64).reshape(16, 8)
+    refs = []
+    for s in range(2):
+        grp = jnp.asarray(hf[s * 8:(s + 1) * 8].reshape(1, 8, 8))
+        refs.append(_moe_ffn_oracle(blk, grp, 0.5).reshape(8, 8))
+    ref = np.concatenate(refs, axis=0).reshape(2, 8, 8)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-11, atol=1e-12)
+    assert float(aux) > 0.0
+
+    with pytest.raises(ValueError, match="must divide the token count"):
+        _moe_ffn(blk, h, 0.5, router_groups=3)
+
+
 def test_moe_rejects_single_expert():
     key = jax.random.PRNGKey(9)
     params = init_moe_decoder_lm(

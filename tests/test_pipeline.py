@@ -135,6 +135,60 @@ def test_pipeline_remat_and_microbatch_counts():
                                    rtol=1e-12, atol=1e-13, err_msg=str(kw))
 
 
+@pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (virtual) devices"
+)
+def test_pipeline_composes_with_solver_sharding():
+    """pp x ZeRO: the pipelined model runs over the `stage` axis of a
+    (stage=4, model=2) mesh while the CG vector space shards over
+    `model` (make_sharded_hf_step, data_axis=None); trajectory equals the
+    plain single-device step and the warm start is model-sharded.  (XLA
+    logs 'involuntary full rematerialization' warnings on the small
+    flat-vector <-> stacked-weights reshardings at the pipeline boundary
+    -- a resharding inefficiency on tiny tensors, not an error.)"""
+    from pytorchhessianfree_tpu.parallel.sharded import make_sharded_hf_step
+
+    params = _params(seed=8)
+    mesh = make_mesh(8, axis_names=("stage", "model"), shape=(4, 2))
+    tokens = jax.random.randint(jax.random.PRNGKey(9), (4, 8), 0, 16)
+    config = HFConfig(damping=1.0, cg_max_iter=10)
+    ravel = TrainableRavel(params, pad_to_multiple=8)
+
+    def block_fn(blk, h):
+        return _block(blk, h, N_HEADS, causal=True)
+
+    def pp_model(p, toks):
+        from pytorchhessianfree_tpu.models.transformer import _layernorm
+
+        x = p["embed"][toks] + p["pos"][: toks.shape[1]]
+        x = pipeline_blocks(
+            stack_blocks(p["blocks"]), x, block_fn, mesh,
+            stage_axis="stage", n_microbatches=2,
+        )
+        x = _layernorm(p["ln_f"], x)
+        return x @ p["embed"].T
+
+    fns_pp = HFModelFns(model_fn=pp_model, loss_outer=next_token_loss)
+    fns_seq = HFModelFns(
+        model_fn=lambda p, t: decoder_lm_apply(p, t, n_heads=N_HEADS),
+        loss_outer=next_token_loss,
+    )
+    step_pp = make_sharded_hf_step(
+        fns_pp, config, ravel, mesh, data_axis=None, model_axis="model"
+    )
+    step_seq = make_hf_step(fns_seq, config, ravel)
+
+    p_m, s_m, st_m = step_pp(params, init_state(ravel, config),
+                             (tokens, tokens))
+    p_s, _, st_s = step_seq(params, init_state(ravel, config),
+                            (tokens, tokens))
+    assert int(st_m.num_cg_iters) == int(st_s.num_cg_iters)
+    for a, b in zip(jax.tree_util.tree_leaves(p_m),
+                    jax.tree_util.tree_leaves(p_s)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
+    assert tuple(s_m.x0.sharding.spec) == ("model",)
+
+
 def test_pipeline_validation():
     params = _params(seed=6)
     mesh = make_mesh(4, axis_names=("stage",))

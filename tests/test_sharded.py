@@ -543,11 +543,25 @@ def test_sharded_context_parallel_2d_onehot():
 
 def test_onehot_paths_match_gather():
     """The one-hot embedding/loss forms are numerically identical to the
-    gather forms (exact 0/1 selection) -- forward and gradient, f64."""
+    gather forms (exact 0/1 selection) -- forward and gradient, f64, on
+    both the decoder and the encoder classifier."""
     from pytorchhessianfree_tpu.models import (
         decoder_lm_apply,
         init_decoder_lm,
+        init_transformer,
         next_token_loss,
+        transformer_apply,
+    )
+
+    ekey = jax.random.PRNGKey(3)
+    enc = init_transformer(
+        ekey, vocab=12, d_model=16, n_layers=1, d_ff=32, num_classes=4,
+        max_len=8, dtype=jnp.float64,
+    )
+    etoks = jax.random.randint(ekey, (3, 8), 0, 12)
+    np.testing.assert_array_equal(
+        np.asarray(transformer_apply(enc, etoks)),
+        np.asarray(transformer_apply(enc, etoks, embed_onehot=True)),
     )
 
     key = jax.random.PRNGKey(2)

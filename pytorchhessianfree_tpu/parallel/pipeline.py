@@ -51,7 +51,10 @@ def pipeline_blocks(
     ``[N, ...]`` activations; ``N`` must divide by ``n_microbatches``
     (microbatching is over the batch axis, exact for per-sample models).
     ``block_fn(blk, h) -> h`` is one layer (close over statics like head
-    count; wrap in ``jax.checkpoint`` for per-layer remat).
+    count; wrap in ``jax.checkpoint`` for per-layer remat).  The
+    signature is activations-in/activations-out only -- for blocks with
+    auxiliary outputs (the MoE block's load-balance aux) wrap them to
+    drop the aux, or compute the aux in a separate replicated pass.
 
     Semantics are IDENTICAL to running the layers sequentially -- the
     GPipe schedule is pure dataflow reordering.  Returns ``[N, ...]``

@@ -353,7 +353,10 @@ def decoder_lm_apply(
 
 
 def next_token_loss(
-    logits: jax.Array, tokens: jax.Array, onehot: bool = False
+    logits: jax.Array,
+    tokens: jax.Array,
+    onehot: bool = False,
+    mask: jax.Array | None = None,
 ) -> jax.Array:
     """Mean next-token cross-entropy: ``logits`` [N, T, V] at position t
     scored against ``tokens[:, t+1]``, averaged over all N*(T-1) positions.
@@ -365,7 +368,14 @@ def next_token_loss(
     ``onehot=True`` selects the target log-probs by a one-hot contraction
     instead of ``take_along_axis`` -- identical values, no gather, so the
     loss partitions under 2-D-sharded tokens (same rationale and caveat as
-    ``_embed``; pair with ``embed_onehot=True``)."""
+    ``_embed``; pair with ``embed_onehot=True``).
+
+    ``mask``: optional [N, T] 0/1 weights over TARGET positions (mask[:, t]
+    weights the prediction of token t; position 0 is never a target) --
+    padded-sequence training.  The mean is over the masked positions
+    (``sum(ll * m) / sum(m)``), so the loss scale stays length-invariant.
+    For HF, thread the mask through the batch pytree alongside the tokens
+    so every phase of the step sees it."""
     pred = logits[:, :-1, :]
     tgt = tokens[:, 1:]
     logp = jax.nn.log_softmax(pred, axis=-1)
@@ -374,4 +384,7 @@ def next_token_loss(
         ll = jnp.sum(logp * oh, axis=-1)
     else:
         ll = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
-    return -jnp.mean(ll)
+    if mask is None:
+        return -jnp.mean(ll)
+    m = mask[:, 1:].astype(ll.dtype)
+    return -jnp.sum(ll * m) / jnp.maximum(jnp.sum(m), 1.0)

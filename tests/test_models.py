@@ -334,6 +334,58 @@ def test_resnet18_width_scale():
     assert bool(jnp.all(jnp.isfinite(out)))
 
 
+def test_next_token_loss_mask():
+    """mask weights target positions: all-ones == unmasked; zeroing a
+    column removes exactly that position's term; an HF step trains a
+    padded batch (mask threaded through the batch pytree)."""
+    from pytorchhessianfree_tpu import (
+        HFConfig,
+        HFModelFns,
+        TrainableRavel,
+        init_state,
+        make_hf_step,
+    )
+    from pytorchhessianfree_tpu.models import (
+        decoder_lm_apply,
+        init_decoder_lm,
+        next_token_loss,
+    )
+
+    key = jax.random.PRNGKey(30)
+    logits = jax.random.normal(key, (3, 8, 16), jnp.float64)
+    tokens = jax.random.randint(key, (3, 8), 0, 16)
+
+    full = next_token_loss(logits, tokens)
+    ones = next_token_loss(logits, tokens, mask=jnp.ones((3, 8)))
+    np.testing.assert_allclose(float(full), float(ones), rtol=1e-14)
+
+    # drop the last target position: equals the mean over the first T-2
+    mask = jnp.ones((3, 8)).at[:, -1].set(0.0)
+    kept = next_token_loss(logits, tokens, mask=mask)
+    manual = next_token_loss(logits[:, :-1, :], tokens[:, :-1])
+    np.testing.assert_allclose(float(kept), float(manual), rtol=1e-13)
+
+    # all-masked: finite (guarded denominator)
+    z = next_token_loss(logits, tokens, mask=jnp.zeros((3, 8)))
+    assert np.isfinite(float(z))
+
+    # HF trains with the mask riding in the batch
+    params = init_decoder_lm(key, vocab=16, d_model=16, n_layers=1,
+                             d_ff=32, max_len=8, dtype=jnp.float64)
+    fns = HFModelFns(
+        model_fn=lambda p, batch: decoder_lm_apply(p, batch[0]),
+        loss_outer=lambda out, batch: next_token_loss(
+            out, batch[0], mask=batch[1]
+        ),
+    )
+    config = HFConfig(damping=1.0, cg_max_iter=10)
+    ravel = TrainableRavel(params)
+    step = make_hf_step(fns, config, ravel)
+    batch = ((tokens, mask), (tokens, mask))
+    p, s, stats = step(params, init_state(ravel, config), batch)
+    assert float(stats.final_loss) < float(stats.init_loss)
+
+
 def test_chunked_attention_matches_full():
     """attn_chunk row-blocks the softmax; rows are independent so numerics
     must match full attention at f64 for forward, gradient AND GGN matvec,

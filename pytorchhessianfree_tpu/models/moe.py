@@ -19,9 +19,10 @@ per-group capacity; groups bound the router's memory, and at production
 scale the group axis is the data axis so GSPMD turns the dispatch into
 all-to-alls).
 
-Top-2 routing with per-expert capacity (tokens over capacity fall back to
-the residual stream), normalized top-2 gates, optional Switch-style
-load-balance auxiliary loss.
+Top-2 (GShard) or top-1 (Switch, ``top_k=1``) routing with per-expert
+capacity (tokens over capacity fall back to the residual stream),
+normalized top-2 / raw top-1 gates, optional Switch-style load-balance
+auxiliary loss.
 """
 
 from __future__ import annotations
@@ -92,45 +93,54 @@ def init_moe_decoder_lm(
     return params
 
 
-def _top2_dispatch(probs, capacity: int):
-    """GShard top-2 dispatch/combine tensors from router probabilities.
+def _topk_dispatch(probs, capacity: int, top_k: int = 2):
+    """GShard/Switch dispatch/combine tensors from router probabilities.
 
     ``probs``: [G, E] softmax outputs -> ``(dispatch [G, E, C] 0/1,
-    combine [G, E, C], aux scalar)``.  First-choice tokens claim expert
-    slots before second-choice tokens (cumsum position counters); a token
-    whose choice is over capacity loses that choice (both over -> the MoE
-    output is zero and the residual stream carries it).  Gates are the
-    two chosen probabilities renormalized to sum to one.  The masks and
-    slot positions are piecewise-constant in ``probs`` (zero tangent);
-    gradients and GGN tangents flow through the gate values in
-    ``combine``.  ``aux`` is the Switch load-balance loss
-    ``E * sum_e f_e * P_e`` (f_e = first-choice routing fraction, P_e =
-    mean router probability).
+    combine [G, E, C], aux scalar)``.  ``top_k=2`` is GShard top-2:
+    first-choice tokens claim expert slots before second-choice tokens
+    (cumsum position counters), gates are the two chosen probabilities
+    renormalized to sum to one.  ``top_k=1`` is Switch routing: single
+    expert, gate = its raw router probability (no renormalization, as in
+    the Switch Transformer).  A token whose choice is over capacity loses
+    that choice (all over -> the MoE output is zero and the residual
+    stream carries it).  The masks and slot positions are
+    piecewise-constant in ``probs`` (zero tangent); gradients and GGN
+    tangents flow through the gate values in ``combine``.  ``aux`` is the
+    Switch load-balance loss ``E * sum_e f_e * P_e`` (f_e = first-choice
+    routing fraction, P_e = mean router probability).
     """
     G, E = probs.shape
     idx1 = jnp.argmax(probs, axis=-1)
     mask1 = jax.nn.one_hot(idx1, E, dtype=probs.dtype)
-    probs_wo1 = probs * (1.0 - mask1)
-    idx2 = jnp.argmax(probs_wo1, axis=-1)
-    mask2 = jax.nn.one_hot(idx2, E, dtype=probs.dtype)
 
     # slot position of every token within its chosen expert, first-choice
     # tokens first (cumsum over the token axis = arrival order)
     pos1 = jnp.cumsum(mask1, axis=0) - mask1
+    keep1 = mask1 * (pos1 < capacity)
+    p1 = jnp.sum(pos1 * keep1, axis=-1).astype(jnp.int32)
+    oh1 = jax.nn.one_hot(p1, capacity, dtype=probs.dtype)  # [G, C]
+    g1 = jnp.sum(probs * mask1, axis=-1)
+
+    f = jnp.mean(mask1, axis=0)
+    P = jnp.mean(probs, axis=0)
+    aux = jnp.asarray(E, probs.dtype) * jnp.sum(f * P)
+
+    if top_k == 1:
+        dispatch = keep1[:, :, None] * oh1[:, None, :]
+        combine = (keep1 * g1[:, None])[:, :, None] * oh1[:, None, :]
+        return dispatch, combine, aux
+
+    probs_wo1 = probs * (1.0 - mask1)
+    idx2 = jnp.argmax(probs_wo1, axis=-1)
+    mask2 = jax.nn.one_hot(idx2, E, dtype=probs.dtype)
     count1 = jnp.sum(mask1, axis=0, keepdims=True)
     pos2 = jnp.cumsum(mask2, axis=0) - mask2 + count1
-
-    keep1 = mask1 * (pos1 < capacity)
     keep2 = mask2 * (pos2 < capacity)
-
-    # scalar slot index per token (0 where not kept; masked below)
-    p1 = jnp.sum(pos1 * keep1, axis=-1).astype(jnp.int32)
     p2 = jnp.sum(pos2 * keep2, axis=-1).astype(jnp.int32)
-    oh1 = jax.nn.one_hot(p1, capacity, dtype=probs.dtype)  # [G, C]
     oh2 = jax.nn.one_hot(p2, capacity, dtype=probs.dtype)
-
-    g1 = jnp.sum(probs * mask1, axis=-1)
     g2 = jnp.sum(probs * mask2, axis=-1)
+
     denom = g1 + g2
     denom = jnp.where(denom > 0, denom, jnp.ones_like(denom))
     g1n, g2n = g1 / denom, g2 / denom
@@ -143,22 +153,20 @@ def _top2_dispatch(probs, capacity: int):
         (keep1 * g1n[:, None])[:, :, None] * oh1[:, None, :]
         + (keep2 * g2n[:, None])[:, :, None] * oh2[:, None, :]
     )
-
-    f = jnp.mean(mask1, axis=0)
-    P = jnp.mean(probs, axis=0)
-    aux = jnp.asarray(E, probs.dtype) * jnp.sum(f * P)
     return dispatch, combine, aux
 
 
-def _moe_ffn(blk, h, capacity_factor: float, router_groups: int = 1):
+def _moe_ffn(blk, h, capacity_factor: float, router_groups: int = 1,
+             top_k: int = 2):
     """Top-2 MoE feed-forward over [N, T, d] activations -> (out, aux)."""
     N, T, d = h.shape
     E = blk["gate"].shape[-1]
+    if top_k not in (1, 2):
+        raise ValueError(f"top_k must be 1 or 2, got {top_k}")
     if E < 2:
         raise ValueError(
-            f"top-2 routing needs >= 2 experts, got {E} (the second "
-            "argmax over the first-choice-zeroed probabilities would "
-            "silently re-select the only expert)"
+            f"routing needs >= 2 experts, got {E} (with one expert the "
+            "second argmax would silently re-select it; use a dense FFN)"
         )
     G = N * T
     if G % router_groups != 0:
@@ -167,7 +175,7 @@ def _moe_ffn(blk, h, capacity_factor: float, router_groups: int = 1):
             f"{G} (= batch {N} x seq {T})"
         )
     Gg = G // router_groups
-    capacity = int(math.ceil(capacity_factor * 2 * Gg / E))
+    capacity = int(math.ceil(capacity_factor * top_k * Gg / E))
     # [S groups, Gg, d]: tokens compete for expert slots WITHIN their
     # group only (GShard's per-group capacity -- groups=1 is the global
     # single-program form).  The dispatch/combine tensors are
@@ -179,7 +187,7 @@ def _moe_ffn(blk, h, capacity_factor: float, router_groups: int = 1):
     logits = jnp.einsum("sgd,de->sge", hg, blk["gate"])
     probs = jax.nn.softmax(logits, axis=-1)
     dispatch, combine, aux = jax.vmap(
-        lambda p: _top2_dispatch(p, capacity)
+        lambda p: _topk_dispatch(p, capacity, top_k)
     )(probs)
     aux = jnp.mean(aux)
 
@@ -198,11 +206,13 @@ def _moe_ffn(blk, h, capacity_factor: float, router_groups: int = 1):
 def _moe_block(
     blk, x, n_heads: int, capacity_factor: float, attn_chunk=None,
     router_groups: int = 1,
+    top_k: int = 2,
 ):
     """Causal pre-LN attention + MoE-FFN residual block -> (x, aux)."""
     x = _attention_sublayer(blk, x, n_heads, True, attn_chunk)
     h = _layernorm(blk["ln2"], x)
-    moe_out, aux = _moe_ffn(blk, h, capacity_factor, router_groups)
+    moe_out, aux = _moe_ffn(blk, h, capacity_factor, router_groups,
+                            top_k)
     return x + moe_out, aux
 
 
@@ -212,6 +222,7 @@ def moe_decoder_lm_apply(
     n_heads: int = 4,
     capacity_factor: float = 1.25,
     router_groups: int = 1,
+    top_k: int = 2,
     scan_layers: bool = True,
     remat: bool = False,
     attn_chunk: int | None = None,
@@ -224,7 +235,9 @@ def moe_decoder_lm_apply(
     training loss via ``loss_outer`` if desired -- the GGN treats it as
     one more output block).  ``router_groups=S`` routes with per-group
     capacity over S equal slices of the flattened tokens (O(G^2/S)
-    dispatch memory; per-group-oracle-tested).
+    dispatch memory; per-group-oracle-tested).  ``top_k=1`` switches to
+    Switch-style single-expert routing (gate = the raw router
+    probability, capacity cf*G/E).
 
     Knobs compose exactly as on ``decoder_lm_apply``: ``scan_layers``
     (blocks as ONE ``lax.scan`` over stacked weights), ``remat``,
@@ -242,13 +255,13 @@ def moe_decoder_lm_apply(
                 x, aux = jax.checkpoint(
                     lambda b, t: _moe_block(
                         b, t, n_heads, capacity_factor, attn_chunk,
-                        router_groups,
+                        router_groups, top_k,
                     )
                 )(blk, x)
             else:
                 x, aux = _moe_block(
                     blk, x, n_heads, capacity_factor, attn_chunk,
-                    router_groups,
+                    router_groups, top_k,
                 )
             aux_total = aux_total + aux
         aux_mean = aux_total / len(blocks)
@@ -258,7 +271,7 @@ def moe_decoder_lm_apply(
         def body(carry, blk):
             out, aux = _moe_block(
                 blk, carry, n_heads, capacity_factor, attn_chunk,
-                router_groups,
+                router_groups, top_k,
             )
             return out, aux
 

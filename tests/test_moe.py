@@ -36,15 +36,16 @@ def _softmax(x):
     return e / e.sum(axis=-1, keepdims=True)
 
 
-def _moe_ffn_oracle(blk, h, capacity_factor):
-    """Per-token NumPy replica of the einsum dispatch: top-2 routing,
+def _moe_ffn_oracle(blk, h, capacity_factor, top_k=2):
+    """Per-token NumPy replica of the einsum dispatch: top-k routing,
     arrival-order slots (ALL first choices claim slots before any second
-    choice), per-expert capacity, renormalized gates, dropped choices
-    lost (not redistributed)."""
+    choice), per-expert capacity, renormalized gates for k=2 / the raw
+    router probability for k=1 (Switch), dropped choices lost (not
+    redistributed)."""
     N, T, d = h.shape
     E = blk["gate"].shape[-1]
     G = N * T
-    C = int(math.ceil(capacity_factor * 2 * G / E))
+    C = int(math.ceil(capacity_factor * top_k * G / E))
     hf = np.asarray(h, np.float64).reshape(G, d)
     probs = _softmax(hf @ np.asarray(blk["gate"], np.float64))
 
@@ -54,24 +55,25 @@ def _moe_ffn_oracle(blk, h, capacity_factor):
     choice2 = probs_wo1.argmax(axis=1)
 
     count1_total = np.zeros(E, int)  # ALL first-choice claims
-    kept = []  # (g, e, gate_normalized)
+    kept = []  # (g, e, gate)
     seen1 = np.zeros(E, int)
     for g in range(G):
         e = choice1[g]
         g1, g2 = probs[g, choice1[g]], probs[g, choice2[g]]
-        z = g1 + g2 if (g1 + g2) > 0 else 1.0
+        z = (g1 + g2 if (g1 + g2) > 0 else 1.0) if top_k == 2 else 1.0
         if seen1[e] < C:
             kept.append((g, e, g1 / z))
         seen1[e] += 1
         count1_total[e] += 1
-    seen2 = count1_total.copy()  # second choices start after ALL first claims
-    for g in range(G):
-        e = choice2[g]
-        g1, g2 = probs[g, choice1[g]], probs[g, choice2[g]]
-        z = g1 + g2 if (g1 + g2) > 0 else 1.0
-        if seen2[e] < C:
-            kept.append((g, e, g2 / z))
-        seen2[e] += 1
+    if top_k == 2:
+        seen2 = count1_total.copy()  # second choices after ALL first claims
+        for g in range(G):
+            e = choice2[g]
+            g1, g2 = probs[g, choice1[g]], probs[g, choice2[g]]
+            z = g1 + g2 if (g1 + g2) > 0 else 1.0
+            if seen2[e] < C:
+                kept.append((g, e, g2 / z))
+            seen2[e] += 1
 
     def gelu(x):
         return np.asarray(jax.nn.gelu(jnp.asarray(x)))
@@ -150,6 +152,39 @@ def test_moe_router_groups_matches_per_group_oracle():
 
     with pytest.raises(ValueError, match="must divide the token count"):
         _moe_ffn(blk, h, 0.5, router_groups=3)
+
+
+def test_moe_top1_switch_matches_oracle_and_trains():
+    """top_k=1 (Switch routing): single expert per token, gate = the raw
+    router probability, capacity cf*G/E -- oracle parity at a crowding
+    capacity factor, and a full HF step decreases the loss."""
+    key = jax.random.PRNGKey(31)
+    blk = _make_block(key, d=8, d_ff=16, E=4)
+    h = jax.random.normal(jax.random.fold_in(key, 1), (3, 4, 8),
+                          jnp.float64)
+    out, aux = _moe_ffn(blk, h, 0.6, top_k=1)
+    ref = _moe_ffn_oracle(blk, h, 0.6, top_k=1)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-11, atol=1e-12)
+    assert float(aux) > 0.0
+
+    params = init_moe_decoder_lm(
+        key, vocab=16, d_model=16, n_layers=1, d_ff=32, n_experts=4,
+        max_len=8, dtype=jnp.float64,
+    )
+    tokens = jax.random.randint(key, (4, 8), 0, 16)
+    fns = HFModelFns(
+        model_fn=lambda p, t: moe_decoder_lm_apply(p, t, top_k=1),
+        loss_outer=next_token_loss,
+    )
+    config = HFConfig(damping=1.0, cg_max_iter=10)
+    ravel = TrainableRavel(params)
+    step = make_hf_step(fns, config, ravel)
+    p, s, stats = step(params, init_state(ravel, config),
+                       (tokens, tokens))
+    assert float(stats.final_loss) < float(stats.init_loss)
+
+    with pytest.raises(ValueError, match="top_k must be"):
+        _moe_ffn(blk, h, 1.0, top_k=3)
 
 
 def test_moe_rejects_single_expert():

@@ -12,6 +12,8 @@ and a composing ``loss_outer`` -- the GGN treats it as one more output
 block.  Run with ``--cpu`` anywhere; without it, the step runs on the TPU.
 """
 
+import sys
+
 import jax
 import jax.numpy as jnp
 from example_utils import force_cpu_if_requested
@@ -40,7 +42,13 @@ def make_batch(key):
 
 
 if __name__ == "__main__":
-    print(f"Running MoE decoder LM HF on {jax.devices()[0].platform}")
+    top_k = 1 if "--top1" in sys.argv else 2
+    groups = (int(sys.argv[sys.argv.index("--groups") + 1])
+              if "--groups" in sys.argv else 1)
+    print(
+        f"Running MoE decoder LM HF on {jax.devices()[0].platform} "
+        f"(top-{top_k} routing, {groups} router group(s))"
+    )
     key = jax.random.PRNGKey(0)
     params = init_moe_decoder_lm(
         key, vocab=VOCAB, d_model=32, n_layers=2, d_ff=64,
@@ -58,7 +66,9 @@ if __name__ == "__main__":
 
     opt = HessianFree(
         params,
-        model_fn=lambda p, t: moe_decoder_lm_apply(p, t, return_aux=True),
+        model_fn=lambda p, t: moe_decoder_lm_apply(
+            p, t, return_aux=True, top_k=top_k, router_groups=groups
+        ),
         loss_outer=lambda out, t: next_token_loss(out[0], t)
         + AUX_WEIGHT * out[1],
         damping=1.0,
@@ -81,7 +91,8 @@ if __name__ == "__main__":
     # balanced routing: the aux loss at the trained params should be near
     # its optimum E * sum(1/E * 1/E) = 1 for uniform routing
     _, aux = moe_decoder_lm_apply(
-        opt.params, make_batch(key)[0], return_aux=True
+        opt.params, make_batch(key)[0], return_aux=True, top_k=top_k,
+        router_groups=groups,
     )
     print(f"load-balance aux at trained params: {float(aux):.3f} "
           "(1.0 = perfectly uniform)")

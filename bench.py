@@ -13,41 +13,114 @@ Prints ONE JSON line:
 same amortized-linearization GGN matvec, since the reference's BackPACK
 dependency is not installed here).  The CPU number is measured once and
 cached in BASELINE_MEASURED.json.
+
+Outage hardening (the round-4 lesson: a relay outage exited this script rc=1
+with NO JSON, zeroing the round's metric): every TPU-touching measurement
+runs in a CHILD subprocess with a hard timeout, so neither a raised
+backend-init error NOR a silent relay hang can take down the JSON line.
+The protocol is:
+
+1. health check: a trivial matmul in a child process, bounded retries with
+   backoff (the relay has been observed down for hours; a later driver
+   retry may land in a healthy phase).
+2. measurement: the matvec chain + full HF step in ONE child (they share
+   the remote service's in-process subgraph cache), retried once.
+3. on persistent outage, STILL print the JSON line, with an ``"error"``
+   field and the last-good cached numbers (BENCH_LAST_GOOD.json) clearly
+   marked ``"stale": true``.
+
+Env knobs (all optional): BENCH_HEALTH_TIMEOUT / BENCH_HEALTH_RETRIES /
+BENCH_HEALTH_BACKOFF / BENCH_MEASURE_TIMEOUT / BENCH_MEASURE_RETRIES;
+BENCH_FORCE_OUTAGE=1 simulates a dead relay (unit-tested fallback path);
+BENCH_TINY=1 + BENCH_PLATFORM=cpu run the full child protocol on a small
+MLP for fast CI coverage of the success path.
 """
 
 import json
 import os
+import subprocess
 import sys
+import tempfile
 import time
 
-import jax
-import jax.numpy as jnp
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+TINY = os.environ.get("BENCH_TINY") == "1"
+BATCH_SIZE = 8 if TINY else 32
+NUM_MATVECS = 5 if TINY else 50  # chained matvecs per timed call
+N_MATVEC_REPEATS = 3 if TINY else 15
+N_STEP_REPEATS = 2 if TINY else 7
+CG_MAX_ITER = 10 if TINY else 50
+CACHE = os.path.join(ROOT, "BASELINE_MEASURED.json")
+LAST_GOOD = os.path.join(ROOT, "BENCH_LAST_GOOD.json")
 
-BATCH_SIZE = 32
-NUM_MATVECS = 50  # chained matvecs per timed call
-CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BASELINE_MEASURED.json")
+
+def _env_float(name: str, default: float) -> float:
+    try:
+        return float(os.environ.get(name, default))
+    except ValueError:
+        return default
+
+
+# ---------------------------------------------------------------------------
+# Child-side measurement (the only code that touches the TPU backend)
+# ---------------------------------------------------------------------------
+
+
+def _setup_child_platform():
+    """Honor BENCH_PLATFORM (tests run the child protocol on CPU).
+
+    The environment's sitecustomize pins JAX_PLATFORMS=axon and pre-imports
+    jax, so env vars alone cannot switch platforms -- must update the config
+    after import (CLAUDE.md).
+    """
+    plat = os.environ.get("BENCH_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
+def _build_problem():
+    """The benchmark problem: ResNet-18/MNIST b32, or a small MLP in tiny
+    mode (CI coverage of the full child protocol without TPU/compile cost).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pytorchhessianfree_tpu import TrainableRavel
+    from pytorchhessianfree_tpu.models import cross_entropy_loss
+
+    key = jax.random.PRNGKey(0)
+    if TINY:
+        from pytorchhessianfree_tpu.models import init_mlp, mlp_apply
+
+        params = init_mlp(key, [16, 32, 10])
+        apply_fn = mlp_apply
+        kx, ky = jax.random.split(key)
+        x = jax.random.normal(kx, (BATCH_SIZE, 16), jnp.float32)
+    else:
+        from pytorchhessianfree_tpu.models import init_resnet18, resnet18_apply
+
+        params = init_resnet18(key, num_classes=10, in_channels=1)
+        apply_fn = resnet18_apply
+        kx, ky = jax.random.split(key)
+        x = jax.random.normal(kx, (BATCH_SIZE, 28, 28, 1), jnp.float32)
+    y = jax.random.randint(ky, (BATCH_SIZE,), 0, 10)
+    ravel = TrainableRavel(params, pad_to_multiple=1024)
+    return params, ravel, apply_fn, cross_entropy_loss, x, y
 
 
 def measure_jax_matvecs_per_sec() -> dict:
     """Returns rate quantiles over the in-process repeats:
     ``{"median", "q1", "q3", "min", "max", "n", "iqr_pct"}`` (matvec/s)."""
-    from pytorchhessianfree_tpu import TrainableRavel
-    from pytorchhessianfree_tpu.models import (
-        cross_entropy_loss,
-        init_resnet18,
-        resnet18_apply,
-    )
+    import jax
+    import jax.numpy as jnp
+
     from pytorchhessianfree_tpu.ops.curvature import ggnvp_fn
 
-    key = jax.random.PRNGKey(0)
-    params = init_resnet18(key, num_classes=10, in_channels=1)
-    ravel = TrainableRavel(params, pad_to_multiple=1024)
-    kx, ky = jax.random.split(key)
-    x = jax.random.normal(kx, (BATCH_SIZE, 28, 28, 1), jnp.float32)
-    y = jax.random.randint(ky, (BATCH_SIZE,), 0, 10)
+    params, ravel, apply_fn, loss_fn, x, y = _build_problem()
 
     @jax.jit
     def chain(params, x, y, v0):
@@ -55,8 +128,8 @@ def measure_jax_matvecs_per_sec() -> dict:
         linearize once (amortized across the chain, like one HF step's CG
         loop), then fori_loop the matvec."""
         _, _, _, gv = ggnvp_fn(
-            lambda p: resnet18_apply(p, x),
-            lambda o: cross_entropy_loss(o, y),
+            lambda p: apply_fn(p, x),
+            lambda o: loss_fn(o, y),
             params,
         )
 
@@ -81,7 +154,7 @@ def measure_jax_matvecs_per_sec() -> dict:
     # a phase swing visible as spread instead of silently moving the
     # point estimate (the r02->r03 -8.7% "regression" was this noise).
     times = []
-    for i in range(1, 16):
+    for i in range(1, N_MATVEC_REPEATS + 1):
         v0 = fresh_v(i)
         jax.block_until_ready(v0)
         t0 = time.perf_counter()
@@ -107,46 +180,34 @@ def measure_jax_matvecs_per_sec() -> dict:
     return rates
 
 
-def measure_jax_hf_step_seconds(cg_max_iter: int = 50):
+def measure_jax_hf_step_seconds(cg_max_iter: int = CG_MAX_ITER):
     """Median wall-clock of the FULL jitted HF step (gradient -> damped PCG
     with Martens criterion -> LM damping -> CG backtracking -> Armijo line
-    search -> update) on the same ResNet-18/MNIST b32 problem, state advanced
-    across steps like a real training loop.
+    search -> update) on the same problem, state advanced across steps like
+    a real training loop.
 
-    Returns ``(median_seconds, [cg iters per timed step])``.
+    Returns ``(median_seconds, [cg iters per timed step], iqr_pct,
+    median_ms_per_cg_iter)``.
     """
     from pytorchhessianfree_tpu import (
         HFConfig,
         HFModelFns,
-        TrainableRavel,
         init_state,
         make_hf_step,
     )
-    from pytorchhessianfree_tpu.models import (
-        cross_entropy_loss,
-        init_resnet18,
-        resnet18_apply,
-    )
 
-    key = jax.random.PRNGKey(0)
-    params = init_resnet18(key, num_classes=10, in_channels=1)
-    ravel = TrainableRavel(params, pad_to_multiple=1024)
-    fns = HFModelFns(model_fn=resnet18_apply,
-                     loss_outer=cross_entropy_loss)
+    params, ravel, apply_fn, loss_fn, x, y = _build_problem()
+    fns = HFModelFns(model_fn=apply_fn, loss_outer=loss_fn)
     config = HFConfig(damping=1.0, cg_max_iter=cg_max_iter)
     step = make_hf_step(fns, config, ravel)
-
-    kx, ky = jax.random.split(key)
-    x = jax.random.normal(kx, (BATCH_SIZE, 28, 28, 1), jnp.float32)
-    y = jax.random.randint(ky, (BATCH_SIZE,), 0, 10)
     batch = (x, y)
 
     state = init_state(ravel, config)
-    params, state, stats = step(params, state, batch)  # compile + warmup step
+    params, state, stats = step(params, state, batch)  # compile + warmup
     _ = float(stats.final_loss)
 
     times, iters = [], []
-    for _ in range(7):
+    for _ in range(N_STEP_REPEATS):
         t0 = time.perf_counter()
         params, state, stats = step(params, state, batch)
         _ = float(stats.final_loss)  # force completion via host transfer
@@ -167,6 +228,145 @@ def measure_jax_hf_step_seconds(cg_max_iter: int = 50):
     return ts[len(ts) // 2], iters, spread_pct, per_iter_ms
 
 
+def _child_health():
+    """Trivial-program health probe (CLAUDE.md recipe): if a 256x256 matmul
+    cannot produce a float, the backend is down -- don't debug the workload."""
+    _setup_child_platform()
+    import jax.numpy as jnp
+
+    x = jnp.ones((256, 256), jnp.float32)
+    v = float((x @ x)[0, 0])
+    print(json.dumps({"kind": "health", "ok": v == 256.0}), flush=True)
+
+
+def _child_measure():
+    """Matvec chain + full HF step in one process (shares the remote
+    service's in-process subgraph cache between the two programs).  Each
+    result is flushed as its own JSON line so a hang in the SECOND
+    measurement cannot lose the first."""
+    _setup_child_platform()
+    rates = measure_jax_matvecs_per_sec()
+    print(json.dumps({"kind": "matvec", **rates}), flush=True)
+    try:
+        sec, iters, spread, per_iter_ms = measure_jax_hf_step_seconds()
+        print(
+            json.dumps({
+                "kind": "step",
+                "sec": sec,
+                "iters": iters,
+                "iqr_pct": spread,
+                "per_iter_ms": per_iter_ms,
+            }),
+            flush=True,
+        )
+    except Exception as e:  # pragma: no cover - service-dependent
+        print(json.dumps({"kind": "step_error", "err": repr(e)}), flush=True)
+
+
+# ---------------------------------------------------------------------------
+# Parent-side orchestration (never runs a TPU op itself)
+# ---------------------------------------------------------------------------
+
+
+def _run_child(mode: str, timeout: float):
+    """Run ``python bench.py --child <mode>`` with a hard timeout.
+
+    Child stdout streams to a temp file so partial results survive a kill
+    (subprocess pipes would lose buffered output on SIGKILL).  Returns
+    ``(rc_or_None_on_timeout, [parsed JSON records], stderr_tail)``.
+    """
+    with tempfile.NamedTemporaryFile("w+", suffix=".jsonl",
+                                     delete=False) as out_f, \
+            tempfile.NamedTemporaryFile("w+", suffix=".log",
+                                        delete=False) as err_f:
+        out_path, err_path = out_f.name, err_f.name
+    rc = None
+    try:
+        with open(out_path, "w") as out_f, open(err_path, "w") as err_f:
+            proc = subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__), "--child", mode],
+                stdout=out_f,
+                stderr=err_f,
+                cwd=ROOT,
+            )
+            try:
+                rc = proc.wait(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                proc.wait(timeout=30)
+        records = []
+        with open(out_path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    records.append(json.loads(line))
+                except json.JSONDecodeError:
+                    pass
+        with open(err_path) as f:
+            err_tail = f.read()[-500:]
+        return rc, records, err_tail
+    finally:
+        for p in (out_path, err_path):
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+
+
+def wait_for_tpu_healthy():
+    """Bounded-retry health check.  Returns ``(healthy, reason_or_None)``."""
+    timeout = _env_float("BENCH_HEALTH_TIMEOUT", 60 if TINY else 300)
+    retries = int(_env_float("BENCH_HEALTH_RETRIES", 3))
+    backoff = _env_float("BENCH_HEALTH_BACKOFF", 120)
+    reasons = []
+    for attempt in range(retries):
+        rc, records, err_tail = _run_child("health", timeout)
+        if any(r.get("kind") == "health" and r.get("ok") for r in records):
+            return True, None
+        if rc is None:
+            reasons.append(f"attempt {attempt + 1}: health probe hung "
+                           f">{timeout:.0f}s (killed)")
+        else:
+            reasons.append(f"attempt {attempt + 1}: rc={rc} "
+                           f"{err_tail.strip().splitlines()[-1:] or ''}")
+        if attempt < retries - 1:
+            time.sleep(backoff)
+    return False, "; ".join(reasons)
+
+
+def run_measurement():
+    """Measurement child with retry.  Returns ``(matvec_rates_or_None,
+    step_record_or_None, failure_reason_or_None)``."""
+    timeout = _env_float("BENCH_MEASURE_TIMEOUT", 300 if TINY else 1500)
+    retries = int(_env_float("BENCH_MEASURE_RETRIES", 2))
+    reason = None
+    for attempt in range(retries):
+        rc, records, err_tail = _run_child("measure", timeout)
+        matvec = next((r for r in records if r.get("kind") == "matvec"), None)
+        step = next((r for r in records if r.get("kind") == "step"), None)
+        step_err = next(
+            (r for r in records if r.get("kind") == "step_error"), None
+        )
+        if matvec is not None:
+            if step is None and step_err is not None:
+                print(f"hf-step measurement failed: {step_err['err']}",
+                      file=sys.stderr)
+            elif step is None and rc is None:
+                print("hf-step measurement hung (timeout); keeping the "
+                      "matvec result", file=sys.stderr)
+            return matvec, step, None
+        if rc is None:
+            reason = f"measurement hung >{timeout:.0f}s (killed)"
+        else:
+            last = err_tail.strip().splitlines()[-1:] or [""]
+            reason = f"measurement rc={rc}: {last[0]}"
+        if attempt < retries - 1:
+            time.sleep(_env_float("BENCH_HEALTH_BACKOFF", 120))
+    return None, None, reason
+
+
 def torch_baselines() -> dict:
     """Measure-once-and-cache torch-CPU baselines: GGN matvecs/sec AND the
     full reference-semantics HF step wall-clock (same model/batch/config)."""
@@ -174,6 +374,8 @@ def torch_baselines() -> dict:
     if os.path.exists(CACHE):
         with open(CACHE) as f:
             cached = json.load(f)
+    if TINY:  # tiny mode: cache is for the real problem; never (re)measure
+        return cached
     dirty = False
     if "torch_cpu_ggn_matvecs_per_sec" not in cached:
         from benchmarks.torch_baseline import measure_ggn_matvecs_per_sec
@@ -202,51 +404,33 @@ def torch_baselines() -> dict:
     return cached
 
 
-if __name__ == "__main__":
-    rates = measure_jax_matvecs_per_sec()
-    rate = rates["median"]
-    # The step program's remote compile occasionally hits a slow service
-    # phase; never let that lose the primary metric.
-    try:
-        step_sec, step_iters, step_spread, step_per_iter_ms = (
-            measure_jax_hf_step_seconds()
-        )
-    except Exception as e:  # pragma: no cover - service-dependent
-        import sys
+def _metric_name() -> str:
+    base = "ggn_matvecs_per_sec_resnet18_mnist_b32"
+    return base + "_tiny" if TINY else base
 
-        print(f"hf-step measurement failed: {e!r}", file=sys.stderr)
-        step_sec, step_iters, step_spread = None, None, None
-        step_per_iter_ms = None
-    try:
-        baselines = torch_baselines()
-    except Exception as e:  # pragma: no cover - environment-dependent
-        import sys
 
-        print(f"torch baseline (re)measurement failed: {e!r}",
-              file=sys.stderr)
-        baselines = {}
-        if os.path.exists(CACHE):
-            with open(CACHE) as f:
-                baselines = json.load(f)
+def build_output(matvec, step, baselines) -> dict:
     mv_base = baselines.get("torch_cpu_ggn_matvecs_per_sec")
     step_base = baselines.get("torch_cpu_hf_step_seconds")
+    if TINY:  # the cached baseline is for the real problem, not the tiny MLP
+        mv_base = step_base = None
     out = {
-        "metric": "ggn_matvecs_per_sec_resnet18_mnist_b32",
-        "value": round(rate, 2),
+        "metric": _metric_name(),
+        "value": round(matvec["median"], 2),
         "unit": "matvec/s",
         "vs_baseline": (
-            round(rate / float(mv_base), 2) if mv_base else None
+            round(matvec["median"] / float(mv_base), 2) if mv_base else None
         ),
         # dispersion over the in-process repeats: the remote relay's run
         # latency swings ~2x between service phases, so a point estimate
         # alone can drift +/-10% round-to-round on an unchanged code path
         "dispersion": {
-            "n_repeats": rates["n"],
-            "iqr_pct": rates["iqr_pct"],
-            "q1": round(rates["q1"], 2),
-            "q3": round(rates["q3"], 2),
-            "min": round(rates["min"], 2),
-            "max": round(rates["max"], 2),
+            "n_repeats": matvec["n"],
+            "iqr_pct": matvec["iqr_pct"],
+            "q1": round(matvec["q1"], 2),
+            "q3": round(matvec["q3"], 2),
+            "min": round(matvec["min"], 2),
+            "max": round(matvec["max"], 2),
         },
     }
     if step_base:
@@ -256,15 +440,86 @@ if __name__ == "__main__":
                 "torch_cpu_hf_step_cg_iters"
             ),
         )
-    if step_sec is not None:
+    if step is not None:
         out.update(
-            hf_step_ms=round(step_sec * 1e3, 2),
-            hf_step_cg_iters=step_iters,
-            hf_step_iqr_pct=step_spread,
-            hf_step_ms_per_cg_iter=step_per_iter_ms,
+            hf_step_ms=round(step["sec"] * 1e3, 2),
+            hf_step_cg_iters=step["iters"],
+            hf_step_iqr_pct=step["iqr_pct"],
+            hf_step_ms_per_cg_iter=step["per_iter_ms"],
         )
         if step_base:
             out["hf_step_vs_torch_cpu"] = round(
-                float(step_base) / step_sec, 2
+                float(step_base) / step["sec"], 2
             )
+    return out
+
+
+def fallback_output(reason: str) -> dict:
+    """The outage path: ALWAYS a parseable JSON line.  Last-good cached
+    numbers (from the most recent successful run of this script) are
+    reported with ``"stale": true`` so nobody mistakes them for fresh."""
+    out = {
+        "metric": _metric_name(),
+        "value": None,
+        "unit": "matvec/s",
+        "vs_baseline": None,
+        "error": reason,
+        "stale": True,
+    }
+    if os.path.exists(LAST_GOOD):
+        try:
+            with open(LAST_GOOD) as f:
+                last = json.load(f)
+            out.update({k: v for k, v in last.items()
+                        if k not in ("error", "stale")})
+            out["error"] = reason
+            out["stale"] = True
+            out["stale_source"] = last.get("_captured", "unknown")
+        except (json.JSONDecodeError, OSError):
+            pass
+    return out
+
+
+def main():
+    if os.environ.get("BENCH_FORCE_OUTAGE") == "1":
+        healthy, reason = False, "forced outage (BENCH_FORCE_OUTAGE=1)"
+    else:
+        healthy, reason = wait_for_tpu_healthy()
+    matvec = step = None
+    if healthy:
+        matvec, step, reason = run_measurement()
+        if reason:
+            reason = f"TPU healthy but {reason}"
+    else:
+        reason = f"TPU backend unavailable: {reason}"
+    if matvec is not None:
+        try:
+            baselines = torch_baselines()
+        except Exception as e:  # pragma: no cover - environment-dependent
+            print(f"torch baseline (re)measurement failed: {e!r}",
+                  file=sys.stderr)
+            baselines = {}
+            if os.path.exists(CACHE):
+                with open(CACHE) as f:
+                    baselines = json.load(f)
+        out = build_output(matvec, step, baselines)
+        if not TINY:  # tiny-mode numbers must never pollute the real cache
+            stamp = dict(out)
+            stamp["_captured"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+            with open(LAST_GOOD, "w") as f:
+                json.dump(stamp, f, indent=1)
+    else:
+        out = fallback_output(reason or "unknown failure")
     print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 3 and sys.argv[1] == "--child":
+        if sys.argv[2] == "health":
+            _child_health()
+        elif sys.argv[2] == "measure":
+            _child_measure()
+        else:
+            raise SystemExit(f"unknown child mode: {sys.argv[2]}")
+    else:
+        main()

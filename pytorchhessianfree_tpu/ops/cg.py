@@ -263,6 +263,19 @@ def cg(
     # gets the full 1024-wide chunk.
     chunk = gcd(n, 1024) if buffer_layout == "flat" else 1
     if buffer_layout == "flat":
+        # The runtime row-start multiply is idx * (n // chunk) in jax's
+        # default int32; it silently wraps once the buffer's leading dim
+        # rows * (n // chunk) reaches 2**31 -- for ANY chunk, not just the
+        # degenerate chunk == 1 (e.g. chunk=2 wraps at ~330M params x 13
+        # grid rows).  Refuse loudly instead of corrupting iterates.
+        if rows * (n // chunk) >= 2**31:
+            raise ValueError(
+                f"buffer_layout='flat' with flat dim {n} (chunk {chunk}) "
+                f"and {rows} grid rows needs row offsets >= 2**31, which "
+                "overflows jax's default int32 index arithmetic.  Pad the "
+                "vector space (TrainableRavel(pad_to_multiple=1024)) or "
+                "use buffer_layout='rows'."
+            )
         if chunk > 1:
             x_buf = jnp.zeros((rows * n // chunk, chunk), sdtype)
             if G and stored_iters[0] == 0:
@@ -270,14 +283,6 @@ def cg(
                     x_buf, x0.astype(sdtype).reshape(-1, chunk), (0, 0)
                 )
         else:
-            if rows * n >= 2**31:
-                raise ValueError(
-                    "buffer_layout='flat' with an odd (unchunkable) flat "
-                    f"dim {n} and {rows} grid rows needs row offsets "
-                    ">= 2**31, which overflows jax's default int32 index "
-                    "arithmetic.  Pad the vector space (TrainableRavel("
-                    "pad_to_multiple=1024)) or use buffer_layout='rows'."
-                )
             x_buf = jnp.zeros((rows * n,), sdtype)
             if G and stored_iters[0] == 0:
                 x_buf = jax.lax.dynamic_update_slice(

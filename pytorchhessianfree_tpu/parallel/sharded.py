@@ -90,10 +90,15 @@ def _place_batch(mesh, batch, batch_specs, default_s, stacked=False):
     With ``batch_specs=None`` every leaf gets ``default_s`` (the batch axis
     sharded over the data axis -- the plain-DP layout).  Otherwise
     ``batch_specs`` is a TREE PREFIX of the batch structure whose leaves
-    are ``PartitionSpec``s / ``None`` (= replicated), the same prefix
-    semantics as ``param_specs``.  Specs describe ONE step's batch; when
-    ``stacked`` (acc_step chunks, train-loop time axis) the leading
-    stacking axis is prepended as unsharded automatically.
+    are ``PartitionSpec``s / ``None``, the same prefix semantics as
+    ``param_specs``.  A ``None`` LEAF inherits ``default_s`` (the DP
+    layout) -- same rule as ``param_specs``, where ``None`` also means
+    "the default layout for this tree" (which for params is replicated) --
+    so sharding one leaf specially does not silently un-DP the others;
+    request replication explicitly with an empty ``P()``.  Specs describe
+    ONE step's batch; when ``stacked`` (acc_step chunks, train-loop time
+    axis) the leading stacking axis is prepended as unsharded
+    automatically (``default_s`` is already the stacked layout).
 
     This is the context-parallelism hook: e.g. tokens ``[N, T]`` with
     ``P("data", "model")`` shard the SEQUENCE axis over the model axis --
@@ -108,7 +113,11 @@ def _place_batch(mesh, batch, batch_specs, default_s, stacked=False):
 
     def put(spec, subtree):
         if spec is None:
-            s = NamedSharding(mesh, P())
+            # inherit the builder's default (DP) layout; explicit P() for
+            # replication.  default_s is None only in direct helper calls.
+            s = default_s if default_s is not None else NamedSharding(
+                mesh, P()
+            )
         else:
             if stacked:
                 spec = P(*((None,) + tuple(spec)))

@@ -26,6 +26,17 @@ from typing import Any, Iterator, Optional
 import jax
 
 
+def _is_shutdown_unblock(e: BaseException) -> bool:
+    """True for exceptions that are the EXPECTED way a blocked source read
+    gets unblocked by shutdown: the ``PrefetchLoader`` -1 sentinel
+    (``RuntimeError("PrefetchLoader is shutting down")``,
+    loader.py::next_batch), a closed generator, or an exhausted iterator.
+    Anything else racing ``close()`` is a real source error."""
+    if isinstance(e, (GeneratorExit, StopIteration)):
+        return True
+    return isinstance(e, RuntimeError) and "shutting down" in str(e)
+
+
 class DevicePrefetcher:
     """Iterator adaptor: batches arrive already resident on device.
 
@@ -97,10 +108,15 @@ class DevicePrefetcher:
                 if self._n_batches is not None and count >= self._n_batches:
                     break
         except BaseException as e:  # surfaced on the consumer side
-            if self._stop.is_set():
+            if self._stop.is_set() and _is_shutdown_unblock(e):
                 # close() raced the read: a source unblocked by shutdown
-                # (e.g. PrefetchLoader.stop() turning hfb_next into the -1
-                # sentinel) is a clean stop, not a sticky stream error.
+                # (PrefetchLoader.stop() turning hfb_next into the -1
+                # sentinel, or a generator closed under us) is a clean
+                # stop, not a sticky stream error.  A GENUINE source error
+                # (corrupt data, I/O failure) that merely coincides with
+                # close() is still recorded so post-mortems see it via
+                # ``.error`` -- silently reclassifying it as clean shutdown
+                # would hide real failures.
                 return
             self._err = e
             self._err_tb = e.__traceback__

@@ -365,3 +365,36 @@ def test_flat_buffer_unchunkable_overflow_guard():
         jax.eval_shape(
             lambda b: cg(lambda v: v, b, max_iter=50), spec
         )
+
+
+def test_flat_buffer_intermediate_chunk_overflow_guard():
+    """The guard must fire for INTERMEDIATE chunks too, not only chunk 1:
+    at chunk=2 (even dim, not a multiple of 4) the leading buffer dim
+    rows * (n // 2) still wraps int32 once rows * n >= 2**32 (~330M params
+    at the 13-row cg50 grid).  Traced via eval_shape (no allocation)."""
+    n = 2 * (2**27 * 13 + 1)  # gcd(n, 1024) == 2
+    from math import gcd
+
+    assert gcd(n, 1024) == 2
+    spec = jax.ShapeDtypeStruct((n,), jnp.float32)
+    with pytest.raises(ValueError, match="overflows"):
+        # store_x_at_iters=None -> the automatic ~13-row cg50 grid, so
+        # rows * (n // 2) >= 2**31 even though n // 2 alone is not
+        jax.eval_shape(
+            lambda b: cg(lambda v: v, b, max_iter=50,
+                         store_x_at_iters=None), spec
+        )
+
+
+def test_flat_buffer_full_chunk_large_dim_ok():
+    """The lane-aligned 1024-chunk layout stays WELL inside int32 at the
+    same scale the chunk=2 guard rejects -- padding to 1024 is the
+    documented fix, so it must actually trace."""
+    n = 2**28 * 13 + 1024 - (2**28 * 13) % 1024  # multiple of 1024, ~3.5G
+    assert n % 1024 == 0
+    spec = jax.ShapeDtypeStruct((n,), jnp.float32)
+    out = jax.eval_shape(
+        lambda b: cg(lambda v: v, b, max_iter=50, store_x_at_iters=None),
+        spec,
+    )
+    assert out.x.shape == (n,)

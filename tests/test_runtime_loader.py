@@ -221,6 +221,51 @@ def test_device_prefetcher_error_propagates():
     assert last == first
 
 
+def test_device_prefetcher_genuine_error_racing_close_is_recorded():
+    """A REAL source error (e.g. data corruption) that raises concurrently
+    with close() must not be reclassified as a clean shutdown: it stays
+    readable via .error for post-mortems.  Only the expected shutdown
+    sentinel is swallowed (next test)."""
+    from pytorchhessianfree_tpu.runtime.prefetch import DevicePrefetcher
+
+    holder = {}
+
+    def source():
+        yield (np.zeros((2, 2)), np.zeros((2,)))
+        # deterministic race: unblock exactly when close() sets _stop
+        holder["pf"]._stop.wait(10)
+        raise OSError("disk corruption")
+
+    pf = DevicePrefetcher(source(), depth=1)
+    holder["pf"] = pf
+    next(pf)  # worker is now blocked inside the second source read
+    pf.close()
+    pf._thread.join(timeout=5)
+    assert not pf._thread.is_alive()
+    assert isinstance(pf.error, OSError)
+
+
+def test_device_prefetcher_shutdown_sentinel_racing_close_is_clean():
+    """The PrefetchLoader -1 sentinel (RuntimeError 'shutting down') raised
+    because close() unblocked the read IS a clean stop: no sticky error."""
+    from pytorchhessianfree_tpu.runtime.prefetch import DevicePrefetcher
+
+    holder = {}
+
+    def source():
+        yield (np.zeros((2, 2)), np.zeros((2,)))
+        holder["pf"]._stop.wait(10)
+        raise RuntimeError("PrefetchLoader is shutting down")
+
+    pf = DevicePrefetcher(source(), depth=1)
+    holder["pf"] = pf
+    next(pf)
+    pf.close()
+    pf._thread.join(timeout=5)
+    assert not pf._thread.is_alive()
+    assert pf.error is None
+
+
 def test_device_prefetcher_close_skips_source_close_when_worker_stuck():
     """close(close_source=True) must NOT free the source while the worker
     thread is still blocked inside it (native use-after-free hazard);

@@ -598,20 +598,32 @@ def test_onehot_paths_match_gather():
 
 def test_batch_specs_tree_prefix_and_stacked():
     """_place_batch semantics: tree-prefix expansion over the batch pytree,
-    None = replicated, and the stacked mode prepends an unsharded leading
-    axis to each spec."""
+    a None LEAF inherits the default (DP) layout, explicit P() replicates,
+    and the stacked mode prepends an unsharded leading axis to each spec."""
+    from jax.sharding import NamedSharding
+
     from pytorchhessianfree_tpu.parallel.sharded import _place_batch
 
     mesh = make_mesh(8, axis_names=("data", "model"))
     x = jnp.zeros((8, 4))
     y = jnp.zeros((8,))
 
-    # per-leaf specs; y replicated
+    # per-leaf specs; y's None leaf INHERITS the default DP layout (the
+    # ADVICE-r4 footgun: customizing one leaf must not silently un-DP the
+    # rest); z's explicit P() is how replication is requested
+    z = jnp.zeros((8,))
+    dp = NamedSharding(mesh, P("data"))
     batch = _place_batch(
-        mesh, (x, y), (P("data", "model"), None),
-        default_s=None,
+        mesh, (x, y, z), (P("data", "model"), None, P()),
+        default_s=dp,
     )
     assert tuple(batch[0].sharding.spec) == ("data", "model")
+    assert tuple(batch[1].sharding.spec) == ("data",)
+    assert batch[2].sharding.is_fully_replicated
+
+    # direct helper call with no default: None leaf replicates
+    batch = _place_batch(mesh, (x, y), (P("data", "model"), None),
+                         default_s=None)
     assert batch[1].sharding.is_fully_replicated
 
     # one spec broadcast over the whole tree (prefix semantics)

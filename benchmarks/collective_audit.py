@@ -304,7 +304,158 @@ def build_programs(n_devices=8):
     return out, mesh2
 
 
-def main(n_devices=8, verbose=False):
+def while_loops_with_permutes(hlo_text):
+    """For each while loop whose BODY contains a collective-permute, return
+    ``{body, trip_count, permutes: [(bytes, line)]}``.
+
+    The trip count is read from the loop's CONDITION computation (a scan
+    lowers to ``while(cond: i < K)``; K is the compare's constant operand) --
+    this is what lets the GPipe bubble model be checked against the HLO
+    itself: the tick loop must run exactly ``M + S - 1`` times to deliver
+    ``M`` microbatches, making ``(S-1)/(M+S-1)`` of every pass idle.
+    """
+    # computation name -> its text lines
+    comps = collections.defaultdict(list)
+    comp = None
+    for line in hlo_text.splitlines():
+        stripped = line.strip()
+        if line and not line[0].isspace() and stripped.endswith("{"):
+            m = re.match(r"(?:ENTRY\s+)?%?([\w\.\-]+)", stripped)
+            if m:
+                comp = m.group(1)
+            continue
+        if comp:
+            comps[comp].append(stripped)
+
+    # while ops: condition= / body= pairs
+    pairs = []
+    for lines in comps.values():
+        for s in lines:
+            if "while(" in s:
+                bm = re.search(r"body=%?([\w\.\-]+)", s)
+                cm = re.search(r"condition=%?([\w\.\-]+)", s)
+                if bm and cm:
+                    pairs.append((cm.group(1), bm.group(1)))
+
+    out = []
+    for cond, body in pairs:
+        permutes = []
+        for s in comps.get(body, ()):
+            for token in (" collective-permute(", " collective-permute-start("):
+                idx = s.find(token)
+                if idx != -1:
+                    eq = s.find("= ")
+                    if eq != -1 and eq < idx:
+                        permutes.append((_shape_bytes(s[eq + 2:idx]), s[:160]))
+                    break
+        if not permutes:
+            continue
+        # trip count: the largest integer constant in the condition
+        # computation (the induction compare's bound; scans count 0..K-1)
+        consts = [
+            int(v)
+            for s in comps.get(cond, ())
+            for v in re.findall(r"constant\((\d+)\)", s)
+        ]
+        out.append({
+            "body": body,
+            "trip_count": max(consts) if consts else None,
+            "permutes": permutes,
+        })
+    return out
+
+
+def build_pp_program(n_stages, n_microbatches, batch=8, seq=16, d_model=64,
+                     d_ff=128, n_layers=4, vocab=64):
+    """Compile the FULL HF step through a GPipe-pipelined decoder on a
+    virtual ``stage`` mesh.  Returns ``(hlo_text, meta)`` where meta carries
+    the analytic predictions to check:
+
+    - ``mb_bytes``: one microbatch's activation payload ``[N/M, T, d]`` f32
+      (what every ppermute tick moves per device),
+    - ``ticks``: ``M + S - 1`` (the GPipe fill/drain schedule length),
+    - ``bubble_frac``: ``(S - 1) / (M + S - 1)``.
+    """
+    from pytorchhessianfree_tpu.models import (
+        init_decoder_lm,
+        next_token_loss,
+    )
+    from pytorchhessianfree_tpu.models.transformer import (
+        _block,
+        _layernorm,
+        stack_blocks,
+    )
+    from pytorchhessianfree_tpu.optimizer import make_hf_step
+    from pytorchhessianfree_tpu.parallel.pipeline import pipeline_blocks
+
+    key = jax.random.PRNGKey(7)
+    params = init_decoder_lm(
+        key, vocab=vocab, d_model=d_model, n_layers=n_layers, d_ff=d_ff,
+        max_len=seq,
+    )
+    pmesh = make_mesh(n_stages, axis_names=("stage",))
+
+    def pp_model(p, tokens):
+        x = p["embed"][tokens] + p["pos"][: tokens.shape[1]]
+        x = pipeline_blocks(
+            stack_blocks(p["blocks"]), x,
+            lambda blk, h: _block(blk, h, 4, causal=True),
+            pmesh, n_microbatches=n_microbatches,
+        )
+        x = _layernorm(p["ln_f"], x)
+        return x @ p["embed"].T
+
+    fns = HFModelFns(model_fn=pp_model, loss_outer=next_token_loss)
+    config = HFConfig(damping=1.0, cg_max_iter=50)
+    ravel = TrainableRavel(params, pad_to_multiple=1024)
+    toks = jax.random.randint(key, (batch, seq), 0, vocab)
+    step = make_hf_step(fns, config, ravel)
+    hlo = (
+        jax.jit(step)
+        .lower(params, init_state(ravel, config), (toks, toks))
+        .compile()
+        .as_text()
+    )
+    S, M = n_stages, n_microbatches
+    meta = {
+        "S": S,
+        "M": M,
+        "mb_bytes": (batch // M) * seq * d_model * 4,
+        "ticks": M + S - 1,
+        "bubble_frac": round((S - 1) / (M + S - 1), 4),
+        "flat_dim": ravel.dim,
+    }
+    return hlo, meta
+
+
+def pp_audit(n_stages, n_microbatches, **kw):
+    """The PP collective row: ppermute count/volume + the HLO-level check
+    of the GPipe tick count behind the documented bubble model."""
+    hlo, meta = build_pp_program(n_stages, n_microbatches, **kw)
+    loops = while_loops_with_permutes(hlo)
+    # the tick loops: trip_count == M+S-1 and a microbatch-sized payload.
+    # (every model pass in the step program -- gradient, CG matvec body,
+    # trial forwards -- contains one; the CG loop nests it.)
+    tick_loops = [
+        lp for lp in loops
+        if lp["trip_count"] == meta["ticks"]
+        and any(b == meta["mb_bytes"] for b, _ in lp["permutes"])
+    ]
+    result = {
+        "program": f"pp_S{n_stages}_M{n_microbatches}",
+        **meta,
+        "per_pass_permute_bytes": meta["ticks"] * meta["mb_bytes"],
+        "tick_loops_found": len(tick_loops),
+        "permute_loops_total": len(loops),
+        "model_checks": {
+            "trip_count==M+S-1": bool(tick_loops),
+            "payload==microbatch": bool(tick_loops),
+        },
+    }
+    return result
+
+
+def main(n_devices=8, verbose=False, pp=True):
     programs, mesh2 = build_programs(n_devices)
     results = []
     for name, (hlo, dim) in programs.items():
@@ -312,6 +463,12 @@ def main(n_devices=8, verbose=False):
         r = summarize(name, hlo, verbose=verbose)
         results.append(r)
         print(json.dumps(r, indent=1))
+    if pp:
+        for S, M in ((2, 4), (4, 4), (4, 8)):
+            print(f"== pp_S{S}_M{M} ==")
+            r = pp_audit(S, M)
+            results.append(r)
+            print(json.dumps(r, indent=1))
     return results
 
 

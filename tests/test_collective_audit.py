@@ -79,3 +79,20 @@ def test_dp_step_collective_structure():
     once = summary.get("once-per-step", {})
     total_once = sum(v["payload_bytes"] for v in once.values())
     assert param_bytes <= total_once <= 4 * param_bytes
+
+
+def test_pp_tick_loop_matches_bubble_model():
+    """The GPipe bubble model checked against compiled HLO: the pipelined
+    step's model passes are while loops of EXACTLY M+S-1 ticks, each tick
+    moving one microbatch-sized ppermute (docs/DESIGN.md PP row)."""
+    from benchmarks.collective_audit import pp_audit
+
+    r = pp_audit(2, 4, batch=4, seq=8, d_model=16, d_ff=32, n_layers=2,
+                 vocab=12)
+    assert r["model_checks"]["trip_count==M+S-1"]
+    assert r["model_checks"]["payload==microbatch"]
+    assert r["ticks"] == 5 and abs(r["bubble_frac"] - 0.2) < 1e-9
+    assert r["mb_bytes"] == (4 // 4) * 8 * 16 * 4
+    # several distinct passes (gradient, matvec jvp+vjp, trials) embed the
+    # tick loop in the step program
+    assert r["tick_loops_found"] >= 3

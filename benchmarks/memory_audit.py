@@ -104,6 +104,23 @@ CONFIGS = {
         256, (4096, 8192, 8192, 8192, 8192, 8192, 16),
         cg=CGConfig(store_dtype="bfloat16"),
     ),
+    # the round-5 push past the 235M wall: compose the bf16 grid with a
+    # COARSER backtracking grid (grid_gamma is a reference cg parameter,
+    # reference cg.py:152) -- gamma 2.0 cuts cg25's grid 11 rows -> 5
+    # (3.0 -> 3), trading backtracking resolution for ~0.6 GB/row at 302M
+    "mlp_300m_bf16grid_gamma2": lambda: _bigmlp(
+        256, (4096, 8192, 8192, 8192, 8192, 8192, 16),
+        cg=CGConfig(store_dtype="bfloat16", grid_gamma=2.0),
+    ),
+    "mlp_300m_bf16grid_gamma3": lambda: _bigmlp(
+        256, (4096, 8192, 8192, 8192, 8192, 8192, 16),
+        cg=CGConfig(store_dtype="bfloat16", grid_gamma=3.0),
+    ),
+    # next rung up (~370M): does the same composition clear it?
+    "mlp_370m_bf16grid_gamma2": lambda: _bigmlp(
+        256, (4096, 8192, 8192, 8192, 8192, 8192, 8192, 16),
+        cg=CGConfig(store_dtype="bfloat16", grid_gamma=2.0),
+    ),
     # ~470M params: 11 GB of f32 grid rows at cg50 -- needs every knob
     "mlp_470m_bf16grid": lambda: _bigmlp(
         128, (8192, 12288, 12288, 12288, 12288, 16),
@@ -115,7 +132,7 @@ CONFIGS = {
 }
 
 
-def run(name, cg_max_iter=50, donate=False):
+def run(name, cg_max_iter=50, donate=False, compile_only=False):
     params, fns, batch, cfg_kw = CONFIGS[name]()
     config = HFConfig(damping=1.0, cg_max_iter=cg_max_iter, **cfg_kw)
     ravel = TrainableRavel(params, pad_to_multiple=1024)
@@ -162,6 +179,12 @@ def run(name, cg_max_iter=50, donate=False):
         msg = repr(e)
         # the actionable part of remote-compile errors is at the END
         out["compile_error_tail"] = msg[-3000:]
+        print(json.dumps(out), flush=True)
+        return out
+
+    if compile_only:
+        # buffer assignment is what decides OOM; executing a 300M-param
+        # step on the 1-core CPU backend would take tens of minutes
         print(json.dumps(out), flush=True)
         return out
 
@@ -263,8 +286,14 @@ if __name__ == "__main__":
             sys.argv[2] if len(sys.argv) > 2 else "mlp_200m"
         )
         sys.exit(0)
+    args = sys.argv[2:]
+    if "cpu" in args:
+        # compile-only CPU analysis must not touch the TPU backend
+        jax.config.update("jax_platforms", "cpu")
+    iters = [a for a in args if a.isdigit()]
     run(
         sys.argv[1],
-        cg_max_iter=int(sys.argv[2]) if len(sys.argv) > 2 else 50,
-        donate="donate" in sys.argv[3:],
+        cg_max_iter=int(iters[0]) if iters else 50,
+        donate="donate" in args,
+        compile_only="compile_only" in args,
     )

@@ -9,7 +9,12 @@ per-token FLOPs stay decoder-class.
 
 Usage: python benchmarks/moe_lm_bench.py [mode] [d l ff heads b [T [E]]]
   mode: "matvec" | "step" | "target" | "all" (default)
-  flags anywhere: "remat", "bf16" (curvature dtype), "chunkN" (attention)
+        "topkab"    in-process top-2 vs top-1 (Switch) step A/B
+        "capab"     in-process capacity 1.25 vs 0.5 (token-dropping) A/B
+        "sustained" scanned on-device train loop (one dispatch per K steps)
+  flags anywhere: "remat", "bf16" (curvature dtype), "chunkN" (attention),
+        "capX.X" (capacity_factor), "top1", "groupsN" (router groups),
+        "stepsN" (timed steps per variant)
 """
 
 import os
@@ -41,6 +46,9 @@ VOCAB, T, EXPERTS = 1024, 128, 8
 BATCH = 32
 REMAT = False
 ATTN_CHUNK = None
+TOP_K = 2
+CAPACITY_FACTOR = 1.25
+ROUTER_GROUPS = 1
 A, B = 37, 11
 
 
@@ -54,7 +62,13 @@ def make_batch(key, batch=None):
     return tokens, tokens
 
 
-def setup():
+def setup(top_k=None, capacity_factor=None, router_groups=None,
+          quiet=False):
+    top_k = TOP_K if top_k is None else top_k
+    capacity_factor = (
+        CAPACITY_FACTOR if capacity_factor is None else capacity_factor
+    )
+    router_groups = ROUTER_GROUPS if router_groups is None else router_groups
     key = jax.random.PRNGKey(0)
     params = init_moe_decoder_lm(
         key, vocab=VOCAB, d_model=D_MODEL, n_heads=HEADS, n_layers=LAYERS,
@@ -68,17 +82,22 @@ def setup():
     ravel = TrainableRavel(params, pad_to_multiple=1024)
     fns = HFModelFns(
         model_fn=lambda p, t: moe_decoder_lm_apply(
-            p, t, n_heads=HEADS, remat=REMAT, attn_chunk=ATTN_CHUNK
+            p, t, n_heads=HEADS, remat=REMAT, attn_chunk=ATTN_CHUNK,
+            top_k=top_k, capacity_factor=capacity_factor,
+            router_groups=router_groups,
         ),
         loss_outer=next_token_loss,
     )
-    print(
-        f"MoE decoder {n_params / 1e6:.1f}M params "
-        f"({n_expert / 1e6:.1f}M in {EXPERTS} experts, top-2 active), "
-        f"b{BATCH} seq{T}, remat {REMAT}, attn_chunk {ATTN_CHUNK}, "
-        f"platform {jax.devices()[0].platform}",
-        flush=True,
-    )
+    if not quiet:
+        print(
+            f"MoE decoder {n_params / 1e6:.1f}M params "
+            f"({n_expert / 1e6:.1f}M in {EXPERTS} experts, "
+            f"top-{top_k} active, capacity {capacity_factor}, "
+            f"groups {router_groups}), "
+            f"b{BATCH} seq{T}, remat {REMAT}, attn_chunk {ATTN_CHUNK}, "
+            f"platform {jax.devices()[0].platform}",
+            flush=True,
+        )
     return params, ravel, fns
 
 
@@ -146,10 +165,59 @@ def bench_step(params, ravel, fns, n_steps=5, curvature_dtype=None):
         _ = float(stats.final_loss)
         times.append(time.perf_counter() - t0)
         iters.append(int(stats.num_cg_iters))
-    times.sort()
+    ts = sorted(times)
+    med = ts[len(ts) // 2]
+    iqr = 100 * (ts[(3 * len(ts)) // 4] - ts[len(ts) // 4]) / med
+    per_iter = sorted(t / max(i, 1) for t, i in zip(times, iters))
     print(
-        f"full HF step: {times[len(times) // 2] * 1e3:.1f} ms median "
+        f"full HF step: {med * 1e3:.1f} ms median (IQR {iqr:.1f}%), "
+        f"{per_iter[len(per_iter) // 2] * 1e3:.2f} ms/cg-iter "
         f"(cg iters {iters})",
+        flush=True,
+    )
+    return med, iters
+
+
+def bench_sustained(params, ravel, fns, loop_len=10, n_loops=3):
+    """Scanned on-device train loop (one dispatch per loop_len steps) --
+    the deployment shape; reports sustained ms/step over the later loops
+    (the first is compile+warm)."""
+    from pytorchhessianfree_tpu import make_hf_train_loop
+
+    config = HFConfig(damping=1.0, cg_max_iter=50)
+    loop = make_hf_train_loop(fns, config, ravel)
+    state = init_state(ravel, config)
+
+    def stacked(key):
+        bs = [make_batch(jax.random.fold_in(key, i)) for i in range(loop_len)]
+        xs = jnp.stack([b[0] for b in bs])
+        ys = jnp.stack([b[1] for b in bs])
+        return xs, ys
+
+    t0 = time.perf_counter()
+    params, state, stats = loop(params, state, stacked(jax.random.PRNGKey(4)))
+    _ = float(stats.final_loss[-1])
+    print(f"scan-loop compile+first({loop_len} steps) "
+          f"{time.perf_counter() - t0:.1f}s", flush=True)
+    rates = []
+    for i in range(n_loops):
+        batches = stacked(jax.random.fold_in(jax.random.PRNGKey(5), i))
+        jax.block_until_ready(batches[0])
+        t0 = time.perf_counter()
+        params, state, stats = loop(params, state, batches)
+        _ = float(stats.final_loss[-1])
+        dt = time.perf_counter() - t0
+        rates.append(dt / loop_len)
+        print(
+            f"  loop {i}: {dt:.2f}s = {dt / loop_len * 1e3:.1f} ms/step "
+            f"(cg iters {[int(v) for v in stats.num_cg_iters]})",
+            flush=True,
+        )
+    rates.sort()
+    med = rates[len(rates) // 2]
+    print(
+        f"sustained: {med * 1e3:.1f} ms/step median = "
+        f"{BATCH / med:.0f} sequences/s ({BATCH * T / med:,.0f} tokens/s)",
         flush=True,
     )
 
@@ -187,9 +255,41 @@ if __name__ == "__main__":
         if len(nums) > 6:
             EXPERTS = nums[6]
     REMAT = "remat" in sys.argv
+    n_steps = 5
     for tok in sys.argv[2:]:
         if tok.startswith("chunk") and tok[5:].isdigit():
             ATTN_CHUNK = int(tok[5:])
+        if tok.startswith("cap"):
+            try:
+                CAPACITY_FACTOR = float(tok[3:])
+            except ValueError:
+                pass
+        if tok == "top1":
+            TOP_K = 1
+        if tok.startswith("groups") and tok[6:].isdigit():
+            ROUTER_GROUPS = int(tok[6:])
+        if tok.startswith("steps") and tok[5:].isdigit():
+            n_steps = int(tok[5:])
+    if mode == "topkab":
+        # in-process top-2 vs top-1 (Switch) full-step A/B: same params,
+        # same batches, only the routing differs
+        params, ravel, fns2 = setup(top_k=2)
+        print("--- top-2 routing ---", flush=True)
+        bench_step(params, ravel, fns2, n_steps=n_steps)
+        _, _, fns1 = setup(top_k=1, quiet=True)
+        print("--- top-1 (Switch) routing ---", flush=True)
+        bench_step(params, ravel, fns1, n_steps=n_steps)
+        sys.exit(0)
+    if mode == "capab":
+        # in-process capacity A/B: 1.25 (few drops) vs 0.5 (heavy
+        # token-dropping regime -- capacity well under the routed load)
+        params, ravel, fns_hi = setup(capacity_factor=1.25)
+        print("--- capacity_factor 1.25 ---", flush=True)
+        bench_step(params, ravel, fns_hi, n_steps=n_steps)
+        _, _, fns_lo = setup(capacity_factor=0.5, quiet=True)
+        print("--- capacity_factor 0.5 (dropping) ---", flush=True)
+        bench_step(params, ravel, fns_lo, n_steps=n_steps)
+        sys.exit(0)
     params, ravel, fns = setup()
     if mode in ("matvec", "all"):
         bench_matvec(params, ravel, fns)
@@ -197,6 +297,9 @@ if __name__ == "__main__":
         bench_step(
             params, ravel, fns,
             curvature_dtype="bfloat16" if "bf16" in sys.argv else None,
+            n_steps=n_steps,
         )
+    if mode == "sustained":
+        bench_sustained(params, ravel, fns)
     if mode in ("target", "all"):
         bench_target(params, ravel, fns)

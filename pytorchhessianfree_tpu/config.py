@@ -63,7 +63,9 @@ class CGConfig:
             raise ValueError(f"Unknown buffer_layout {self.buffer_layout}")
         if self.store_mode not in ("scratch", "cond"):
             raise ValueError(f"Unknown store_mode {self.store_mode}")
-        if self.grid_gamma < 1.0:
+        if self.grid_gamma <= 1.0:
+            # match storing_grid's bound: gamma == 1.0 would make the
+            # ceil(gamma^j)-1 grid degenerate (log base 1)
             raise ValueError(f"Invalid gamma = {self.grid_gamma}")
         if self.nonpos_curv_option not in ("ignore", "saddle-free"):
             raise ValueError(f"Unknown option {self.nonpos_curv_option}.")

@@ -327,3 +327,52 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-v"]))
+
+
+@pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (virtual) devices"
+)
+def test_moe_expert_parallel_composes_with_context_parallel():
+    """EP x CP on ONE mesh axis: expert weights sharded over `model`
+    (moe_param_specs) while the tokens shard along the SEQUENCE axis over
+    the same axis (batch_specs) -- the dispatch einsums then mix an
+    e-sharded operand with T-sharded tokens and GSPMD must resolve both.
+    Trajectory == the single-device step."""
+    from jax.sharding import PartitionSpec as P
+
+    from pytorchhessianfree_tpu.parallel.mesh import make_mesh
+    from pytorchhessianfree_tpu.parallel.sharded import make_sharded_hf_step
+
+    key = jax.random.PRNGKey(6)
+    n_layers = 2
+    params = init_moe_decoder_lm(
+        key, vocab=12, d_model=16, n_layers=n_layers, d_ff=32,
+        n_experts=4, max_len=8, dtype=jnp.float64,
+    )
+    fns = HFModelFns(
+        model_fn=lambda p, t: moe_decoder_lm_apply(p, t),
+        loss_outer=next_token_loss,
+    )
+    config = HFConfig(damping=1.0, cg_max_iter=15)
+    ravel = TrainableRavel(params, pad_to_multiple=8)
+    mesh = make_mesh(8, axis_names=("data", "model"))
+
+    tokens = jax.random.randint(jax.random.PRNGKey(51), (4, 8), 0, 12)
+    batch = (tokens, tokens)
+
+    step_single = make_hf_step(fns, config, ravel)
+    step_epcp = make_sharded_hf_step(
+        fns, config, ravel, mesh,
+        param_specs=moe_param_specs(n_layers),
+        batch_specs=P(None, "model"),  # sequence axis over the model axis
+    )
+
+    p_s, _, st_s = step_single(params, init_state(ravel, config), batch)
+    p_m, _, st_m = step_epcp(params, init_state(ravel, config), batch)
+    for a, b in zip(jax.tree_util.tree_leaves(p_s),
+                    jax.tree_util.tree_leaves(p_m)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    assert int(st_s.num_cg_iters) == int(st_m.num_cg_iters)
+    assert tuple(p_m["blocks"][0]["w1"].sharding.spec) == (
+        "model", None, None,
+    )

@@ -10,6 +10,9 @@ CG's fixed-quadratic assumption holds.
 The Switch load-balance auxiliary loss rides through ``return_aux=True``
 and a composing ``loss_outer`` -- the GGN treats it as one more output
 block.  Run with ``--cpu`` anywhere; without it, the step runs on the TPU.
+``--ep`` additionally runs EXPERT-PARALLEL: the expert weight stacks
+shard over the mesh's model axis (``moe_param_specs``) through the
+sharded wrapper (needs >= 2 devices; ``--cpu`` provides 8 virtual ones).
 """
 
 import sys
@@ -64,6 +67,26 @@ if __name__ == "__main__":
         f" x {len(params['blocks'])} layers, top-2 routed)"
     )
 
+    mesh_kw = {}
+    if "--ep" in sys.argv:
+        from pytorchhessianfree_tpu.models import moe_param_specs
+        from pytorchhessianfree_tpu.parallel.mesh import make_mesh
+
+        n_dev = jax.device_count()
+        if n_dev < 2:
+            raise SystemExit(
+                "--ep needs >= 2 devices (use --cpu for 8 virtual ones)"
+            )
+        mesh = make_mesh(n_dev, axis_names=("data", "model"))
+        mesh_kw = dict(
+            mesh=mesh, param_specs=moe_param_specs(len(params["blocks"]))
+        )
+        print(
+            f"expert-parallel: experts sharded "
+            f"{mesh.shape['model']}-way over the model axis "
+            f"(mesh {dict(mesh.shape)})"
+        )
+
     opt = HessianFree(
         params,
         model_fn=lambda p, t: moe_decoder_lm_apply(
@@ -73,6 +96,7 @@ if __name__ == "__main__":
         + AUX_WEIGHT * out[1],
         damping=1.0,
         cg_max_iter=30,
+        **mesh_kw,
     )
 
     for i in range(8):

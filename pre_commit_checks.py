@@ -22,6 +22,7 @@ STEPS = [
     [sys.executable, "examples/run_flax_interop.py", "--cpu"],
     [sys.executable, "examples/run_context_parallel.py", "--cpu"],
     [sys.executable, "examples/run_moe_lm.py", "--cpu"],
+    [sys.executable, "examples/run_moe_lm.py", "--cpu", "--ep"],
     [sys.executable, "examples/run_pipeline_parallel.py", "--cpu"],
     [sys.executable, "examples/run_pipeline.py", "--cpu"],
     [sys.executable, "examples/run_prefetch_loader.py", "--cpu"],

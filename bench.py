@@ -231,6 +231,9 @@ def measure_jax_hf_step_seconds(cg_max_iter: int = CG_MAX_ITER):
 def _child_health():
     """Trivial-program health probe (CLAUDE.md recipe): if a 256x256 matmul
     cannot produce a float, the backend is down -- don't debug the workload."""
+    if os.environ.get("BENCH_FAKE_HANG") == "1":  # test hook: a dead relay
+        while True:  # pragma: no cover - killed by the parent's timeout
+            time.sleep(60)
     _setup_child_platform()
     import jax.numpy as jnp
 

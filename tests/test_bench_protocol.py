@@ -102,6 +102,22 @@ def test_health_probe_failure_falls_back(tmp_path):
     assert "unavailable" in out["error"]
 
 
+def test_health_probe_hang_is_killed_and_falls_back():
+    """The ACTUAL round-4 failure mode was a silent relay HANG, not a raised
+    error: the health child must be killed at the timeout and the stale
+    JSON line still printed."""
+    proc = _run_bench({
+        "BENCH_FAKE_HANG": "1",
+        "BENCH_HEALTH_TIMEOUT": "3",
+        "BENCH_HEALTH_RETRIES": "2",
+        "BENCH_HEALTH_BACKOFF": "1",
+    }, timeout=120)
+    assert proc.returncode == 0, proc.stderr[-1000:]
+    out = _parse_single_json_line(proc.stdout)
+    assert out["stale"] is True
+    assert "hung" in out["error"]
+
+
 @pytest.mark.slow
 def test_tiny_cpu_success_path():
     """Full protocol success on CPU with a tiny MLP: health child passes,

@@ -226,19 +226,26 @@ def test_device_prefetcher_genuine_error_racing_close_is_recorded():
     with close() must not be reclassified as a clean shutdown: it stays
     readable via .error for post-mortems.  Only the expected shutdown
     sentinel is swallowed (next test)."""
+    import threading
+
     from pytorchhessianfree_tpu.runtime.prefetch import DevicePrefetcher
 
-    holder = {}
+    release = threading.Event()
 
     def source():
         yield (np.zeros((2, 2)), np.zeros((2,)))
-        # deterministic race: unblock exactly when close() sets _stop
-        holder["pf"]._stop.wait(10)
+        # the worker parks here until the test has called close() (which
+        # sets _stop) and THEN releases it -- a deterministic raise-after-
+        # close ordering with no dependence on thread scheduling
+        release.wait(10)
         raise OSError("disk corruption")
 
     pf = DevicePrefetcher(source(), depth=1)
-    holder["pf"] = pf
     next(pf)  # worker is now blocked inside the second source read
+    # close() sets _stop in its FIRST statement; the 0.5 s delayed release
+    # makes the worker's raise strictly follow it without stalling close()'s
+    # internal join for the full park
+    threading.Timer(0.5, release.set).start()
     pf.close()
     pf._thread.join(timeout=5)
     assert not pf._thread.is_alive()
@@ -248,18 +255,20 @@ def test_device_prefetcher_genuine_error_racing_close_is_recorded():
 def test_device_prefetcher_shutdown_sentinel_racing_close_is_clean():
     """The PrefetchLoader -1 sentinel (RuntimeError 'shutting down') raised
     because close() unblocked the read IS a clean stop: no sticky error."""
+    import threading
+
     from pytorchhessianfree_tpu.runtime.prefetch import DevicePrefetcher
 
-    holder = {}
+    release = threading.Event()
 
     def source():
         yield (np.zeros((2, 2)), np.zeros((2,)))
-        holder["pf"]._stop.wait(10)
+        release.wait(10)
         raise RuntimeError("PrefetchLoader is shutting down")
 
     pf = DevicePrefetcher(source(), depth=1)
-    holder["pf"] = pf
     next(pf)
+    threading.Timer(0.5, release.set).start()
     pf.close()
     pf._thread.join(timeout=5)
     assert not pf._thread.is_alive()

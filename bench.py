@@ -318,6 +318,19 @@ def _run_child(mode: str, timeout: float):
                 pass
 
 
+# Global deadline: bench.py must ALWAYS print its JSON line before any
+# plausible driver-side timeout kills the whole process (a kill from
+# outside is the one failure the fallback line cannot survive).  Child
+# timeouts are clamped to the remaining budget; when <60 s remain the
+# protocol goes straight to the fallback line.
+_START = time.monotonic()
+_DEADLINE = _env_float("BENCH_DEADLINE", 240 if TINY else 2400)
+
+
+def _remaining() -> float:
+    return _DEADLINE - (time.monotonic() - _START)
+
+
 def wait_for_tpu_healthy():
     """Bounded-retry health check.  Returns ``(healthy, reason_or_None)``."""
     timeout = _env_float("BENCH_HEALTH_TIMEOUT", 60 if TINY else 300)
@@ -325,17 +338,22 @@ def wait_for_tpu_healthy():
     backoff = _env_float("BENCH_HEALTH_BACKOFF", 120)
     reasons = []
     for attempt in range(retries):
-        rc, records, err_tail = _run_child("health", timeout)
+        if _remaining() < 60:
+            reasons.append("deadline reached")
+            break
+        rc, records, err_tail = _run_child(
+            "health", min(timeout, _remaining())
+        )
         if any(r.get("kind") == "health" and r.get("ok") for r in records):
             return True, None
         if rc is None:
             reasons.append(f"attempt {attempt + 1}: health probe hung "
                            f">{timeout:.0f}s (killed)")
         else:
-            reasons.append(f"attempt {attempt + 1}: rc={rc} "
-                           f"{err_tail.strip().splitlines()[-1:] or ''}")
+            last = err_tail.strip().splitlines()[-1:] or [""]
+            reasons.append(f"attempt {attempt + 1}: rc={rc} {last[0]}")
         if attempt < retries - 1:
-            time.sleep(backoff)
+            time.sleep(min(backoff, max(_remaining(), 0)))
     return False, "; ".join(reasons)
 
 
@@ -346,7 +364,12 @@ def run_measurement():
     retries = int(_env_float("BENCH_MEASURE_RETRIES", 2))
     reason = None
     for attempt in range(retries):
-        rc, records, err_tail = _run_child("measure", timeout)
+        if _remaining() < 60:
+            reason = (reason or "") + "; deadline reached"
+            break
+        rc, records, err_tail = _run_child(
+            "measure", min(timeout, _remaining())
+        )
         matvec = next((r for r in records if r.get("kind") == "matvec"), None)
         step = next((r for r in records if r.get("kind") == "step"), None)
         step_err = next(
@@ -366,7 +389,10 @@ def run_measurement():
             last = err_tail.strip().splitlines()[-1:] or [""]
             reason = f"measurement rc={rc}: {last[0]}"
         if attempt < retries - 1:
-            time.sleep(_env_float("BENCH_HEALTH_BACKOFF", 120))
+            time.sleep(
+                min(_env_float("BENCH_HEALTH_BACKOFF", 120),
+                    max(_remaining(), 0))
+            )
     return None, None, reason
 
 

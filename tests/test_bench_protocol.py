@@ -118,6 +118,17 @@ def test_health_probe_hang_is_killed_and_falls_back():
     assert "hung" in out["error"]
 
 
+def test_global_deadline_forces_fallback_line():
+    """The one failure the fallback JSON cannot survive is an OUTSIDE kill
+    (driver timeout); the global deadline guarantees the line prints first.
+    With the budget already exhausted, no child is even attempted."""
+    proc = _run_bench({"BENCH_DEADLINE": "0.1"}, timeout=60)
+    assert proc.returncode == 0, proc.stderr[-1000:]
+    out = _parse_single_json_line(proc.stdout)
+    assert out["stale"] is True
+    assert "deadline reached" in out["error"]
+
+
 @pytest.mark.slow
 def test_tiny_cpu_success_path():
     """Full protocol success on CPU with a tiny MLP: health child passes,

@@ -500,7 +500,7 @@ def fallback_output(reason: str) -> dict:
             with open(LAST_GOOD) as f:
                 last = json.load(f)
             out.update({k: v for k, v in last.items()
-                        if k not in ("error", "stale")})
+                        if k not in ("error", "stale", "_captured")})
             out["error"] = reason
             out["stale"] = True
             out["stale_source"] = last.get("_captured", "unknown")

@@ -252,6 +252,39 @@ def build_programs(n_devices=8):
         dravel.dim,
     )
 
+    # --- 2-D context parallel: tokens sharded over BOTH axes (batch over
+    # data, sequence over model) via the gather-free one-hot forms (the
+    # plain embedding gather CHECK-crashes XLA's SPMD partitioner in this
+    # layout -- docs/API.md caveat); quantifies the workaround's
+    # collective cost relative to the 1-D CP row above
+    d2fns = HFModelFns(
+        model_fn=lambda p, t: decoder_lm_apply(
+            p, t, n_heads=4, embed_onehot=True
+        ),
+        loss_outer=lambda o, t: next_token_loss(o, t, onehot=True),
+    )
+    d2config = HFConfig(damping=1.0, cg_max_iter=50)
+    (
+        d2config, _, d2repl, _, _, d2shard_vec, d2shard_buf, d2state_s,
+    ) = _prepare(d2config, dravel, mesh2, "data", "model")
+    tok2_s = NamedSharding(mesh2, P("data", "model"))
+    d2step = jax.jit(
+        functools.partial(
+            hf_step, fns=d2fns, config=d2config, ravel=dravel,
+            shard_vec=d2shard_vec, shard_buf=d2shard_buf,
+        ),
+        out_shardings=(d2repl, d2state_s, d2repl),
+    )
+    d2args = (
+        jax.device_put(dparams, d2repl),
+        jax.device_put(init_state(dravel, d2config), d2state_s),
+        (jax.device_put(tokens, tok2_s), jax.device_put(tokens, tok2_s)),
+    )
+    out["cp2d_onehot_data2_model4"] = (
+        d2step.lower(*d2args).compile().as_text(),
+        dravel.dim,
+    )
+
     # --- expert parallel: MoE decoder, expert axis over model=4 ---------
     # (moe_param_specs layout; the dispatch einsums against the 0/1
     # dispatch/combine tensors are what GSPMD partitions over E)

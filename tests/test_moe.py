@@ -376,3 +376,67 @@ def test_moe_expert_parallel_composes_with_context_parallel():
     assert tuple(p_m["blocks"][0]["w1"].sharding.spec) == (
         "model", None, None,
     )
+
+
+def test_moe_hessian_matvec_matches_dense_oracle():
+    """The HESSIAN curvature path through top-2 routing: the routing masks
+    are piecewise-constant (argmax/one_hot), so away from routing
+    boundaries the loss is smooth in params and hvp_fn must match the
+    dense jax.hessian of the same loss -- pinning that forward-over-
+    reverse flows through the einsum dispatch, capacity clipping and gate
+    renormalization (curvature_opt="hessian" on the MoE family)."""
+    from pytorchhessianfree_tpu.ops.curvature import hvp_fn
+
+    key = jax.random.PRNGKey(9)
+    params = init_moe_decoder_lm(
+        key, vocab=8, d_model=8, n_heads=2, n_layers=1, d_ff=8,
+        n_experts=2, max_len=4, dtype=jnp.float64,
+    )
+    ravel = TrainableRavel(params)
+    tokens = jax.random.randint(jax.random.PRNGKey(90), (2, 4), 0, 8)
+
+    def full_loss(p):
+        return next_token_loss(moe_decoder_lm_apply(p, tokens, n_heads=2),
+                               tokens)
+
+    loss, grad, hvp = hvp_fn(full_loss, params)
+    H = jax.hessian(lambda v: full_loss(ravel.unravel(v)))(
+        ravel.ravel(params)
+    )
+
+    rng = np.random.default_rng(9)
+    for _ in range(3):
+        v = jnp.asarray(rng.standard_normal(ravel.dim), ravel.dtype)
+        Hv = ravel.ravel(hvp(ravel.unravel(v)))
+        np.testing.assert_allclose(np.asarray(Hv), np.asarray(H @ v),
+                                   atol=1e-9)
+
+
+def test_moe_trains_with_hessian_curvature():
+    """Full HF step with curvature_opt='hessian' (saddle-free handling for
+    the indefinite Hessian) trains the MoE decoder."""
+    key = jax.random.PRNGKey(10)
+    params = init_moe_decoder_lm(
+        key, vocab=12, d_model=16, n_layers=2, d_ff=32, n_experts=4,
+        max_len=8,
+    )
+    fns = HFModelFns(
+        model_fn=lambda p, t: moe_decoder_lm_apply(p, t),
+        loss_outer=next_token_loss,
+    )
+    from pytorchhessianfree_tpu import CGConfig
+
+    config = HFConfig(
+        damping=1.0, cg_max_iter=15, curvature_opt="hessian",
+        cg=CGConfig(nonpos_curv_option="saddle-free"),
+    )
+    ravel = TrainableRavel(params, pad_to_multiple=8)
+    step = make_hf_step(fns, config, ravel)
+    state = init_state(ravel, config)
+    tokens = jax.random.randint(jax.random.PRNGKey(91), (4, 8), 0, 12)
+    losses = []
+    for i in range(3):
+        params, state, stats = step(params, state, (tokens, tokens))
+        losses.append(float(stats.final_loss))
+        assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0]

@@ -209,3 +209,29 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-v"]))
+
+
+def test_pipeline_hessian_matvec_matches_sequential():
+    """The HESSIAN path (forward-over-reverse, hvp_fn) through the GPipe
+    schedule: lax.scan + ppermute + masked selects all transpose AND
+    linearize, so the pipelined full-loss Hessian matvec must equal the
+    sequential one exactly (f64)."""
+    from pytorchhessianfree_tpu.ops.curvature import hvp_fn
+
+    params = _params(seed=3)
+    mesh = make_mesh(4, axis_names=("stage",))
+    tokens = jax.random.randint(jax.random.PRNGKey(4), (4, 8), 0, 16)
+    pl = _pipelined_apply(mesh)
+
+    results = []
+    for apply in (pl, lambda p, t: decoder_lm_apply(p, t, n_heads=N_HEADS)):
+        loss, grad, hvp = hvp_fn(
+            lambda p: next_token_loss(apply(p, tokens), tokens), params
+        )
+        v = jax.tree_util.tree_map(jnp.ones_like, params)
+        results.append((loss, grad, hvp(v)))
+    np.testing.assert_allclose(results[0][0], results[1][0], rtol=1e-13)
+    for a, b in zip(jax.tree_util.tree_leaves(results[0][1:]),
+                    jax.tree_util.tree_leaves(results[1][1:])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-10, atol=1e-11)

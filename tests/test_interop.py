@@ -408,3 +408,63 @@ def test_haiku_fns_state_in_batch():
 
     _, losses, init_loss = _run_steps(fns, params, ((x, bn_state), y))
     assert losses[-1] < init_loss
+
+
+def test_huggingface_flax_gpt2_trains_under_hf():
+    """Ecosystem interop: a real HuggingFace transformers model
+    (FlaxGPT2LMHeadModel built from config -- no weights download) trains
+    under the full Hessian-free step through the plain model_fn contract.
+    The reference's analog claim is 'any torch.nn.Module'; ours is 'any
+    callable params -> outputs', which HF flax models satisfy directly
+    (dropout off via train=False, the reference's own recommendation for
+    stochastic models, reference optimizer.py:406-409)."""
+    transformers = pytest.importorskip("transformers")
+    import warnings
+
+    from pytorchhessianfree_tpu import (
+        HFConfig,
+        HFModelFns,
+        TrainableRavel,
+        init_state,
+        make_hf_step,
+    )
+    from pytorchhessianfree_tpu.models import next_token_loss
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        from transformers.models.gpt2.modeling_flax_gpt2 import (
+            FlaxGPT2LMHeadModel,
+        )
+
+        cfg = transformers.GPT2Config(
+            vocab_size=32, n_positions=8, n_embd=16, n_layer=2, n_head=2,
+            resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+        )
+        model = FlaxGPT2LMHeadModel(cfg, seed=0, dtype=jnp.float32)
+
+    params = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32), model.params
+    )
+
+    def model_fn(p, toks):
+        return model(toks, params=p, train=False).logits
+
+    fns = HFModelFns(model_fn=model_fn, loss_outer=next_token_loss)
+    ravel = TrainableRavel(params, pad_to_multiple=8)
+    config = HFConfig(damping=1.0, cg_max_iter=15)
+    step = make_hf_step(fns, config, ravel)
+    state = init_state(ravel, config)
+
+    # affine next-token rule over the 32-vocab (fully learnable)
+    start = jax.random.randint(jax.random.PRNGKey(3), (4,), 0, 32)
+    toks = [start]
+    for _ in range(7):
+        toks.append((5 * toks[-1] + 3) % 32)
+    tokens = jnp.stack(toks, axis=1).astype(jnp.int32)
+
+    losses = []
+    for _ in range(3):
+        params, state, stats = step(params, state, (tokens, tokens))
+        assert bool(jnp.isfinite(stats.final_loss))
+        losses.append(float(stats.final_loss))
+    assert losses[-1] < losses[0]

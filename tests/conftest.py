@@ -46,6 +46,8 @@ _SMOKE = (
     "test_runtime_loader.py::test_device_prefetcher_error_propagates",
     "test_interop.py::test_flax_fns_batchnorm_state_frozen",
     "test_moe.py::test_moe_ffn_matches_per_token_oracle",
+    "test_bench_protocol.py::test_forced_outage_emits_stale_json_rc0",
+    "test_roofline_accounting.py",  # whole file: fast cost-analysis pins
 )
 
 

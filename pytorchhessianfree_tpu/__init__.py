@@ -20,6 +20,16 @@ from .ops.precond import (
     diag_EF_scan,
     diag_to_preconditioner,
 )
+from .ops.spectrum import (
+    LanczosResult,
+    RitzResult,
+    lanczos,
+    normalized_probes,
+    ritz,
+    slq,
+    slq_density,
+    slq_trace,
+)
 from .ops.select import (
     BacktrackResult,
     LinesearchResult,
@@ -84,6 +94,14 @@ __all__ = [
     "cg_backtracking",
     "cg_efficient_backtracking",
     "simple_linesearch",
+    "LanczosResult",
+    "RitzResult",
+    "lanczos",
+    "normalized_probes",
+    "ritz",
+    "slq",
+    "slq_density",
+    "slq_trace",
     "HessianFree",
     "HFModelFns",
     "HFState",

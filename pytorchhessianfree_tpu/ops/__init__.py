@@ -1,2 +1,2 @@
 """Compute-path ops: CG solver, curvature matvecs, preconditioners, step
-selection."""
+selection, spectral diagnostics (Lanczos/SLQ)."""

@@ -1631,6 +1631,77 @@ class HessianFree:
                 loss_reg=self.fns.loss_reg,
             )
 
+    def estimate_spectrum(
+        self,
+        batch,
+        *,
+        num_iters: int = 32,
+        num_probes: int = 0,
+        key: Optional[jax.Array] = None,
+        curvature: Optional[str] = None,
+        seed: int = 0,
+    ):
+        """Spectral diagnostics of this optimizer's LIVE curvature operator
+        (the exact matvec CG solves against: same params, same batch, same
+        ``curvature_opt`` / ``curvature_dtype`` / ``remat`` configuration).
+
+        No reference analog (SURVEY.md §2.3) -- answers the questions the
+        quadratic model raises: is ``damping`` in the right decade relative
+        to ``lambda_max``, is there negative curvature (Hessian path), what
+        does the spectral bulk look like.
+
+        Args:
+            batch: One batch, same structure :meth:`step` takes.
+            num_iters: Krylov dimension (static; extremal eigenvalues
+                converge first, tens suffice for ``lambda_max``).
+            num_probes: If > 0, additionally run SLQ with this many
+                Rademacher probes and return the Gauss nodes/weights
+                (feed to :func:`~pytorchhessianfree_tpu.slq_trace` /
+                :func:`~pytorchhessianfree_tpu.slq_density` with
+                ``dim = self.ravel.unpadded_dim``).
+            key: PRNG key for start vector + probes (default: from ``seed``).
+            curvature: Override ``config.curvature_opt`` ("ggn"/"hessian"),
+                e.g. to probe the Hessian for saddles while training with
+                the GGN.
+
+        Returns:
+            ``RitzResult`` (values descending, Kaniel-Paige residual bounds,
+            start-vector weights), or ``(RitzResult, (nodes, weights))``
+            when ``num_probes > 0``.
+        """
+        import dataclasses
+
+        from .ops.spectrum import normalized_probes, ritz, slq
+
+        cfg = self.config
+        if curvature is not None:
+            cfg = dataclasses.replace(cfg, curvature_opt=curvature)
+        if key is None:
+            key = jax.random.PRNGKey(seed)
+        # Probes live in the unpadded subspace: the lane-alignment tail is
+        # the operator's null space and must not enter the Krylov basis.
+        probes = normalized_probes(
+            key, 1 + num_probes, self.ravel.unpadded_dim, self.ravel.dtype,
+            pad_to=self.ravel.dim if self.ravel.dim
+            != self.ravel.unpadded_dim else None,
+        )
+        fns, ravel, params = self.fns, self.ravel, self.params
+
+        with config_mod.precision_ctx(self.config):
+
+            @jax.jit
+            def run(params, batch, probes):
+                _, _, mvp = _build_matvec_and_grad(
+                    fns, cfg, ravel, params, batch
+                )
+                r = ritz(mvp, probes[0], num_iters)
+                if num_probes:
+                    return r, slq(mvp, probes[1:], num_iters)
+                return r, None
+
+            r, nw = run(params, batch, probes)
+        return (r, nw) if num_probes else r
+
     # -- self-tests ----------------------------------------------------------
     def test_reduction(self, datalist, reduction: str) -> None:
         """Raise if the loss function's reduction does not match ``reduction``

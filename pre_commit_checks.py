@@ -17,6 +17,7 @@ STEPS = [
     [sys.executable, "examples/run_small_nn.py", "--cpu"],
     [sys.executable, "examples/run_small_nn_acc.py", "--cpu"],
     [sys.executable, "examples/run_spectrum.py", "--cpu"],
+    [sys.executable, "examples/run_nystrom.py", "--cpu"],
     [sys.executable, "examples/run_sharded.py", "--cpu"],
     [sys.executable, "examples/run_transformer.py", "--cpu"],
     [sys.executable, "examples/run_decoder_lm.py", "--cpu"],

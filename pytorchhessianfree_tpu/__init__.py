@@ -20,6 +20,11 @@ from .ops.precond import (
     diag_EF_scan,
     diag_to_preconditioner,
 )
+from .ops.nystrom import (
+    NystromSketch,
+    nystrom_sketch,
+    nystrom_to_preconditioner,
+)
 from .ops.spectrum import (
     LanczosResult,
     RitzResult,
@@ -94,6 +99,9 @@ __all__ = [
     "cg_backtracking",
     "cg_efficient_backtracking",
     "simple_linesearch",
+    "NystromSketch",
+    "nystrom_sketch",
+    "nystrom_to_preconditioner",
     "LanczosResult",
     "RitzResult",
     "lanczos",

@@ -31,6 +31,7 @@ from .config import HFConfig
 from .ops import cg as cg_mod
 from .ops.cg import cg
 from .ops.curvature import ggnvp_fn, hvp_fn
+from .ops.nystrom import NystromSketch, lowrank_arg, nystrom_to_preconditioner
 from .ops.precond import diag_EF, diag_EF_scan, diag_to_preconditioner
 from .ops.select import (
     cg_efficient_backtracking,
@@ -558,6 +559,7 @@ def hf_step(
     ravel: TrainableRavel,
     precond_diag: Optional[jax.Array] = None,
     precond_exponent: float = 0.75,
+    precond_lowrank: Optional[NystromSketch] = None,
     M: Optional[Callable[[jax.Array], jax.Array]] = None,
     grad_vec: Optional[jax.Array] = None,
     mvp_vec: Optional[Callable[[jax.Array], jax.Array]] = None,
@@ -566,6 +568,10 @@ def hf_step(
 ) -> Tuple[Any, HFState, HFStats]:
     """One Hessian-free update -- the functional analog of
     ``HessianFree.step`` (reference optimizer.py:126-363).
+
+    ``precond_lowrank``: a :class:`~pytorchhessianfree_tpu.NystromSketch`
+    (dynamic operand, like ``precond_diag``); the step builds the low-rank
+    ``(A + damping I)^{-1}`` approximation with the live damping.
 
     Pure function of ``(params, state, batch)``; meant to be jitted (see
     :func:`make_hf_step`).  ``precond_diag`` is a dynamic operand: pass the
@@ -584,6 +590,7 @@ def hf_step(
         return _hf_step_impl(
             params, state, batch, fns=fns, config=config, ravel=ravel,
             precond_diag=precond_diag, precond_exponent=precond_exponent,
+            precond_lowrank=precond_lowrank,
             M=M, grad_vec=grad_vec, mvp_vec=mvp_vec, shard_vec=shard_vec,
             shard_buf=shard_buf,
         )
@@ -599,6 +606,7 @@ def _hf_step_impl(
     ravel: TrainableRavel,
     precond_diag: Optional[jax.Array] = None,
     precond_exponent: float = 0.75,
+    precond_lowrank: Optional[NystromSketch] = None,
     M: Optional[Callable[[jax.Array], jax.Array]] = None,
     grad_vec: Optional[jax.Array] = None,
     mvp_vec: Optional[Callable[[jax.Array], jax.Array]] = None,
@@ -617,6 +625,10 @@ def _hf_step_impl(
         M = diag_to_preconditioner(
             precond_diag, state.damping, precond_exponent
         )
+    elif M is None and precond_lowrank is not None:
+        # Low-rank Nystrom preconditioner, built with the LIVE damping
+        # like the diagonal path above (ops/nystrom.py).
+        M = nystrom_to_preconditioner(precond_lowrank, state.damping)
     elif M is None and config.precond == "diag_ef":
         # In-step automatic preconditioning: the empirical-Fisher diagonal
         # from THIS step's batch, computed on-device inside the same jitted
@@ -681,10 +693,11 @@ def make_hf_step(
 
     @functools.partial(
         jax.jit,
-        static_argnames=("use_precond",),
+        static_argnames=("use_precond", "use_lowrank"),
         donate_argnums=(0, 1) if donate else (),
     )
-    def _step(params, state, batch, precond_diag, use_precond):
+    def _step(params, state, batch, precond_diag, use_precond,
+              precond_lowrank, use_lowrank):
         return hf_step(
             params,
             state,
@@ -694,11 +707,18 @@ def make_hf_step(
             ravel=ravel,
             precond_diag=precond_diag if use_precond else None,
             precond_exponent=precond_exponent,
+            precond_lowrank=precond_lowrank if use_lowrank else None,
         )
 
-    def step(params, state, batch, precond_diag=None):
+    def step(params, state, batch, precond_diag=None, precond_lowrank=None):
+        if precond_diag is not None and precond_lowrank is not None:
+            raise ValueError(
+                "Pass either precond_diag or precond_lowrank, not both."
+            )
         precond_diag, use_precond = precond_arg(precond_diag, ravel)
-        return _step(params, state, batch, precond_diag, use_precond)
+        precond_lowrank, use_lowrank = lowrank_arg(precond_lowrank, ravel)
+        return _step(params, state, batch, precond_diag, use_precond,
+                     precond_lowrank, use_lowrank)
 
     return step
 
@@ -1339,6 +1359,7 @@ class HessianFree:
         M: Optional[Callable[[jax.Array], jax.Array]] = None,
         grad_vec: Optional[jax.Array] = None,
         mvp: Optional[Callable[[jax.Array], jax.Array]] = None,
+        precond_lowrank: Optional[NystromSketch] = None,
     ) -> float:
         """One update step on ``batch``; returns the final mini-batch loss
         (reference optimizer.py:126-363).
@@ -1348,6 +1369,12 @@ class HessianFree:
         step is cached per closure object; prefer ``precond_diag`` (one
         compiled program for any diagonal) when the preconditioner is
         diagonal.  Not combinable with ``mesh=``.
+
+        ``precond_lowrank``: a :class:`NystromSketch` from
+        :meth:`get_nystrom_sketch` -- low-rank ``(A + damping I)^{-1}``
+        preconditioning built in-step with the live damping.  A dynamic
+        operand like ``precond_diag`` (one compiled program per rank).
+        Single-device only for now (not combinable with ``mesh=``).
 
         ``grad_vec`` / ``mvp``: user-supplied flat gradient / curvature
         matvec closure overriding the derived quantities -- the
@@ -1367,6 +1394,21 @@ class HessianFree:
                     "Non-deterministic behaviour detected "
                     f"({res}). CG's quadratic model assumes a fixed batch "
                     "and deterministic model."
+                )
+        if precond_lowrank is not None:
+            if (precond_diag is not None or M is not None
+                    or mvp is not None or grad_vec is not None):
+                raise ValueError(
+                    "precond_lowrank cannot be combined with precond_diag, "
+                    "M, mvp or grad_vec; build the preconditioner closure "
+                    "explicitly (ops.nystrom.nystrom_to_preconditioner) and "
+                    "pass it as M for custom compositions."
+                )
+            if self.mesh is not None:
+                raise ValueError(
+                    "precond_lowrank is not supported with mesh=; use the "
+                    "functional hf_step with an explicit M closure + shard "
+                    "hooks instead."
                 )
         if M is not None or mvp is not None or grad_vec is not None:
             if M is not None and precond_diag is not None:
@@ -1411,9 +1453,15 @@ class HessianFree:
                 grad_vec is not None, pd, use_precond,
             )
             return self._record(stats)
-        self.params, self.state, stats = self._step(
-            self.params, self.state, batch, precond_diag
-        )
+        if precond_lowrank is not None:
+            self.params, self.state, stats = self._step(
+                self.params, self.state, batch, precond_diag,
+                precond_lowrank=precond_lowrank,
+            )
+        else:
+            self.params, self.state, stats = self._step(
+                self.params, self.state, batch, precond_diag
+            )
         return self._record(stats)
 
     def acc_step(
@@ -1630,6 +1678,62 @@ class HessianFree:
                 self.ravel,
                 loss_reg=self.fns.loss_reg,
             )
+
+    def get_nystrom_sketch(
+        self,
+        batch,
+        *,
+        rank: int = 32,
+        key: Optional[jax.Array] = None,
+        curvature: Optional[str] = None,
+        seed: int = 0,
+    ) -> NystromSketch:
+        """Rank-``rank`` randomized Nystrom eigensketch of this optimizer's
+        LIVE curvature operator (same params/batch/curvature configuration
+        the step's CG solves against) -- feed to :meth:`step` as
+        ``precond_lowrank`` for low-rank ``(A + damping I)^{-1}``
+        preconditioning (ops/nystrom.py; no reference analog -- the
+        reference's only preconditioner family is the diagonal EF,
+        reference preconditioners.py:37-127).
+
+        Cost: ``rank`` batched curvature matvecs (one linearization).  The
+        sketch is reusable across steps while the curvature drifts slowly;
+        rebuild every K steps like the EMA diagonal flow.
+
+        Args:
+            batch: One batch, same structure :meth:`step` takes.
+            rank: Sketch rank (static; one compiled step program per rank).
+            curvature: Override ``config.curvature_opt`` ("ggn"/"hessian").
+                NOTE: the sketch assumes a PSD operator (GGN); on the
+                Hessian path negative eigenvalues are clipped.
+        """
+        import dataclasses
+
+        from .ops.nystrom import nystrom_sketch
+        from .ops.spectrum import normalized_probes
+
+        cfg = self.config
+        if curvature is not None:
+            cfg = dataclasses.replace(cfg, curvature_opt=curvature)
+        if key is None:
+            key = jax.random.PRNGKey(seed)
+        probes = normalized_probes(
+            key, rank, self.ravel.unpadded_dim, self.ravel.dtype,
+            pad_to=self.ravel.dim if self.ravel.dim
+            != self.ravel.unpadded_dim else None,
+        )
+        fns, ravel, params = self.fns, self.ravel, self.params
+
+        with config_mod.precision_ctx(self.config):
+
+            @jax.jit
+            def run(params, batch, probes):
+                _, _, mvp = _build_matvec_and_grad(
+                    fns, cfg, ravel, params, batch
+                )
+                return nystrom_sketch(mvp, probes)
+
+            return run(params, batch, probes)
 
     def estimate_spectrum(
         self,

@@ -71,6 +71,49 @@ def test_matvec_marginal_is_a_forward_multiple():
     assert 2.0 <= ratio <= 4.5, ratio
 
 
+def test_moe_matvec_marginal_within_hand_bound():
+    """benchmarks/moe_roofline.py's hand count is an UPPER bound for the
+    MoE: the 0/1 dispatch tensors are piecewise-constant in the router
+    probabilities (argmax/one_hot), so XLA DCEs their jvp terms.  Pin
+    that the XLA marginal sits inside (1.0, 4.5)x the forward hand count
+    -- i.e. below the 4x-every-operand bound but the same order."""
+    from benchmarks.moe_roofline import forward_flops
+    from pytorchhessianfree_tpu.models import next_token_loss
+    from pytorchhessianfree_tpu.models.moe import (
+        init_moe_decoder_lm,
+        moe_decoder_lm_apply,
+    )
+
+    d, L, f, h, E, b, T, V = 64, 2, 128, 4, 4, 2, 32, 1024
+    params = init_moe_decoder_lm(
+        jax.random.PRNGKey(0), vocab=V, d_model=d, n_heads=h,
+        n_layers=L, d_ff=f, n_experts=E, max_len=T,
+    )
+    tokens = jax.random.randint(jax.random.PRNGKey(3), (b, T), 0, V)
+
+    def model(p):
+        return moe_decoder_lm_apply(p, tokens, n_heads=h)
+
+    @jax.jit
+    def one_mv(p, v):
+        _, _, _, gv = ggnvp_fn(model, lambda o: next_token_loss(o, tokens),
+                               p)
+        return gv(v)
+
+    @jax.jit
+    def lin_only(p, v):
+        loss, _, _, _ = ggnvp_fn(
+            model, lambda o: next_token_loss(o, tokens), p
+        )
+        return loss + 0.0 * v["embed"][0, 0]
+
+    v = jax.tree_util.tree_map(jnp.ones_like, params)
+    marginal = _cost(one_mv, params, v) - _cost(lin_only, params, v)
+    fwd_hand, _, _, _ = forward_flops(b, T, d, f, L, V, E, 2, 1)
+    ratio = marginal / fwd_hand
+    assert 1.0 <= ratio <= 4.5, ratio
+
+
 def test_chain_program_counts_loop_body_once():
     """The bug the difference method avoids: a 50-matvec fori_loop chain's
     cost_analysis is ~1 body + linearization, NOT 50x -- dividing by the

@@ -1,0 +1,64 @@
+#!/bin/bash
+# Round-5 third-stage chip queue: chunked-attention roofline rows.
+# The T512 f32 roofline row measured 4.57 GB accessed/matvec with the
+# matvec at 51% of the streaming speed-of-light; the prime suspect is the
+# materialized [b,h,T,T] attention probabilities crossing HBM in every
+# jvp/vjp pass.  attn_chunk never materializes them — these rows measure
+# whether it closes the bandwidth-bound gap (VERDICT r4 #4 "name and fix
+# the gap").  Waits for the r5b queue, same health gate + timeouts.
+set -u
+cd /root/repo
+LOG=benchmarks/logs_r5
+mkdir -p "$LOG"
+DEADLINE=$(( $(date +%s) + ${QUEUE_BUDGET_S:-10800} ))
+
+# wait for the r5b queue to finish (marker) or its runner to exit
+while (( $(date +%s) < DEADLINE )); do
+  if grep -q "QUEUE R5B COMPLETE" "$LOG/queue.log" 2>/dev/null; then break; fi
+  if [ -f /tmp/queue_r5b.pid ] && ! kill -0 "$(cat /tmp/queue_r5b.pid)" 2>/dev/null; then break; fi
+  sleep 60
+done
+
+probe() {
+  timeout 90 python - <<'EOF' >/dev/null 2>&1
+import jax, jax.numpy as jnp
+x = jnp.ones((256, 256))
+assert float((x @ x)[0, 0]) == 256.0
+EOF
+}
+
+wait_healthy() {
+  while (( $(date +%s) < DEADLINE )); do
+    if probe; then return 0; fi
+    echo "--- relay unhealthy $(date -u +%H:%M:%S), waiting (r5c) ---" >> "$LOG/queue.log"
+    sleep 90
+  done
+  return 1
+}
+
+run_item() {
+  local t=$1 name=$2; shift 2
+  if [ -s "$LOG/$name.log" ] && grep -q "." "$LOG/$name.done" 2>/dev/null; then
+    echo "=== $name already done, skipping ===" >> "$LOG/queue.log"
+    return 0
+  fi
+  if ! wait_healthy; then
+    echo "=== $name SKIPPED: queue deadline, relay still down ===" >> "$LOG/queue.log"
+    return 99
+  fi
+  echo "=== $name START $(date -u +%H:%M:%S) ===" >> "$LOG/queue.log"
+  timeout "$t" "$@" > "$LOG/$name.log" 2>&1
+  local rc=$?
+  echo "=== $name rc=$rc $(date -u +%H:%M:%S) ===" >> "$LOG/queue.log"
+  [ $rc -eq 0 ] && echo ok > "$LOG/$name.done"
+  return $rc
+}
+
+# chunked-attention roofline: does removing the [T,T] prob HBM traffic
+# close the speed-of-light gap?
+run_item 1200 roofline_19m_T512_chunk128    python benchmarks/decoder_roofline.py 512 6 2048 8 8 512 chunk128
+run_item 1200 roofline_19m_T1024_chunk128   python benchmarks/decoder_roofline.py 512 6 2048 8 4 1024 chunk128
+run_item 1200 roofline_19m_T512_chunk128_bf16 python benchmarks/decoder_roofline.py 512 6 2048 8 8 512 chunk128 bf16
+run_item 1500 roofline_85m_T1024_chunk128   python benchmarks/decoder_roofline.py 768 12 3072 12 4 1024 chunk128
+
+echo "=== QUEUE r5c COMPLETE $(date -u +%H:%M:%S) ===" >> "$LOG/queue.log"

@@ -1,21 +1,21 @@
 #!/bin/bash
-# Round-5 third-stage chip queue: chunked-attention roofline rows.
-# The T512 f32 roofline row measured 4.57 GB accessed/matvec with the
-# matvec at 51% of the streaming speed-of-light; the prime suspect is the
-# materialized [b,h,T,T] attention probabilities crossing HBM in every
-# jvp/vjp pass.  attn_chunk never materializes them — these rows measure
-# whether it closes the bandwidth-bound gap (VERDICT r4 #4 "name and fix
-# the gap").  Waits for the r5b queue, same health gate + timeouts.
+# Round-5 merged follow-up chip queue (replaces r5b/r5c, which were
+# chained in the wrong priority order): after the main queue finishes,
+# run the chunked-attention roofline rows FIRST (they complete the
+# VERDICT r4 #4 story — is the [T,T] prob HBM traffic the SoL gap?),
+# then the MoE roofline/MFU rows.  Same health gate + per-item timeouts
+# + .done markers as the other queues.
 set -u
 cd /root/repo
 LOG=benchmarks/logs_r5
 mkdir -p "$LOG"
 DEADLINE=$(( $(date +%s) + ${QUEUE_BUDGET_S:-10800} ))
 
-# wait for the r5b queue to finish (marker) or its runner to exit
+# wait for the main queue to finish (marker) or its runner to exit
 while (( $(date +%s) < DEADLINE )); do
-  if grep -q "QUEUE R5B COMPLETE" "$LOG/queue.log" 2>/dev/null; then break; fi
-  if [ -f /tmp/queue_r5b.pid ] && ! kill -0 "$(cat /tmp/queue_r5b.pid)" 2>/dev/null; then break; fi
+  if grep -q "QUEUE COMPLETE" "$LOG/queue.log" 2>/dev/null; then break; fi
+  if [ -f /tmp/queue_runner.pid ] && ! ps -p "$(cat /tmp/queue_runner.pid)" >/dev/null 2>&1 \
+     && ! ps -eo cmd | grep -q "^bash benchmarks/run_chip_queue_r5.sh"; then break; fi
   sleep 60
 done
 
@@ -30,7 +30,7 @@ EOF
 wait_healthy() {
   while (( $(date +%s) < DEADLINE )); do
     if probe; then return 0; fi
-    echo "--- relay unhealthy $(date -u +%H:%M:%S), waiting (r5c) ---" >> "$LOG/queue.log"
+    echo "--- relay unhealthy $(date -u +%H:%M:%S), waiting (r5d) ---" >> "$LOG/queue.log"
     sleep 90
   done
   return 1
@@ -54,11 +54,17 @@ run_item() {
   return $rc
 }
 
-# chunked-attention roofline: does removing the [T,T] prob HBM traffic
-# close the speed-of-light gap?
+# 1) chunked-attention roofline: does removing the [T,T] prob HBM
+#    traffic close the speed-of-light gap?
 run_item 1200 roofline_19m_T512_chunk128    python benchmarks/decoder_roofline.py 512 6 2048 8 8 512 chunk128
 run_item 1200 roofline_19m_T1024_chunk128   python benchmarks/decoder_roofline.py 512 6 2048 8 4 1024 chunk128
 run_item 1200 roofline_19m_T512_chunk128_bf16 python benchmarks/decoder_roofline.py 512 6 2048 8 8 512 chunk128 bf16
 run_item 1500 roofline_85m_T1024_chunk128   python benchmarks/decoder_roofline.py 768 12 3072 12 4 1024 chunk128
 
-echo "=== QUEUE r5c COMPLETE $(date -u +%H:%M:%S) ===" >> "$LOG/queue.log"
+# 2) MoE roofline/MFU rows (VERDICT r4 #4 names the MoE too)
+run_item 1200 moeroof_flagship      python benchmarks/moe_roofline.py 512 6 2048 8 8 32 128
+run_item 1200 moeroof_T512          python benchmarks/moe_roofline.py 512 6 2048 8 8 8 512
+run_item 1200 moeroof_flagship_top1 python benchmarks/moe_roofline.py 512 6 2048 8 8 32 128 top1
+run_item 1200 moeroof_flagship_bf16 python benchmarks/moe_roofline.py 512 6 2048 8 8 32 128 bf16
+
+echo "=== QUEUE R5D COMPLETE $(date -u +%H:%M:%S) ===" >> "$LOG/queue.log"

@@ -121,6 +121,10 @@ CONFIGS = {
         256, (4096, 8192, 8192, 8192, 8192, 8192, 8192, 16),
         cg=CGConfig(store_dtype="bfloat16", grid_gamma=2.0),
     ),
+    "mlp_370m_bf16grid_gamma3": lambda: _bigmlp(
+        256, (4096, 8192, 8192, 8192, 8192, 8192, 8192, 16),
+        cg=CGConfig(store_dtype="bfloat16", grid_gamma=3.0),
+    ),
     # ~470M params: 11 GB of f32 grid rows at cg50 -- needs every knob
     "mlp_470m_bf16grid": lambda: _bigmlp(
         128, (8192, 12288, 12288, 12288, 12288, 16),
@@ -179,6 +183,11 @@ def run(name, cg_max_iter=50, donate=False, compile_only=False):
         msg = repr(e)
         # the actionable part of remote-compile errors is at the END
         out["compile_error_tail"] = msg[-3000:]
+        # ... but an OOM's "Largest program allocations" list puts the
+        # DOMINANT buffers first — keep the head of that list too
+        marker = msg.find("Largest program allocations")
+        if marker >= 0:
+            out["oom_largest_allocations_head"] = msg[marker:marker + 4000]
         print(json.dumps(out), flush=True)
         return out
 

@@ -11,6 +11,9 @@ Usage: python benchmarks/moe_lm_bench.py [mode] [d l ff heads b [T [E]]]
   mode: "matvec" | "step" | "target" | "all" (default)
         "topkab"    in-process top-2 vs top-1 (Switch) step A/B
         "capab"     in-process capacity 1.25 vs 0.5 (token-dropping) A/B
+        "groupsab"  in-process router_groups 1 vs BATCH step A/B (the
+                    dispatch/combine tensors are O(G^2/S) -- per-sequence
+                    grouping cuts their HBM traffic BATCHx)
         "sustained" scanned on-device train loop (one dispatch per K steps)
   flags anywhere: "remat", "bf16" (curvature dtype), "chunkN" (attention),
         "capX.X" (capacity_factor), "top1", "groupsN" (router groups),
@@ -25,6 +28,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
+
+if "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
 
 from pytorchhessianfree_tpu import (
     HFConfig,
@@ -279,6 +285,23 @@ if __name__ == "__main__":
         _, _, fns1 = setup(top_k=1, quiet=True)
         print("--- top-1 (Switch) routing ---", flush=True)
         bench_step(params, ravel, fns1, n_steps=n_steps)
+        sys.exit(0)
+    if mode == "groupsab":
+        # in-process router-groups A/B: global routing (groups=1, the
+        # single-program GShard form whose [G, E, C] dispatch/combine
+        # tensors dominate the matvec's HBM bytes at this scale) vs
+        # per-sequence routing (groups=BATCH: same capacity PER TOKEN,
+        # O(G^2/S) dispatch memory cut BATCHx).  Routing semantics differ
+        # only in which tokens compete for slots, so cg-iter trajectories
+        # show whether convergence cares.
+        params, ravel, fns_g1 = setup(router_groups=1)
+        print("--- router_groups 1 (global) ---", flush=True)
+        bench_matvec(params, ravel, fns_g1)
+        bench_step(params, ravel, fns_g1, n_steps=n_steps)
+        _, _, fns_gb = setup(router_groups=BATCH, quiet=True)
+        print(f"--- router_groups {BATCH} (per-sequence) ---", flush=True)
+        bench_matvec(params, ravel, fns_gb)
+        bench_step(params, ravel, fns_gb, n_steps=n_steps)
         sys.exit(0)
     if mode == "capab":
         # in-process capacity A/B: 1.25 (few drops) vs 0.5 (heavy

@@ -183,17 +183,7 @@ def _cost(jitted, *args):
     return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
 
 
-def main():
-    nums = [int(v) for v in sys.argv[1:] if v.isdigit()]
-    d_model, layers, d_ff, heads, batch, T = 512, 6, 2048, 8, 8, 512
-    if len(nums) >= 6:
-        d_model, layers, d_ff, heads, batch, T = nums[:6]
-    bf16 = "bf16" in sys.argv
-    attn_chunk = None
-    for tok in sys.argv[1:]:
-        if tok.startswith("chunk") and tok[5:].isdigit():
-            attn_chunk = int(tok[5:])
-
+def run_config(d_model, layers, d_ff, heads, batch, T, attn_chunk, bf16):
     params, ravel, tokens, chain, one_mv, lin_only, n_params = build(
         d_model, layers, d_ff, heads, batch, T,
         attn_chunk=attn_chunk, bf16=bf16,
@@ -293,6 +283,46 @@ def main():
         "sol_fraction": round(sol / per_mv, 3),
     }
     print(json.dumps(result), flush=True)
+    return result
+
+
+def main():
+    nums = [int(v) for v in sys.argv[1:] if v.isdigit()]
+    d_model, layers, d_ff, heads, batch, T = 512, 6, 2048, 8, 8, 512
+    if len(nums) >= 6:
+        d_model, layers, d_ff, heads, batch, T = nums[:6]
+    bf16 = "bf16" in sys.argv
+    attn_chunk = None
+    for tok in sys.argv[1:]:
+        if tok.startswith("chunk") and tok[5:].isdigit():
+            attn_chunk = int(tok[5:])
+
+    if "ab" in sys.argv:
+        # In-process A/B: the full-attention f32 BASE first, then the
+        # flagged variant -- both arms share the relay phase, so the
+        # RATIO stays valid even when absolute times are inflated by a
+        # slow phase (the relay's bad phase runs 1-2x slower; CLAUDE.md).
+        print("--- base: full attention, f32 curvature ---", flush=True)
+        base = run_config(d_model, layers, d_ff, heads, batch, T,
+                          None, False)
+        print(
+            f"--- variant: attn_chunk {attn_chunk}, "
+            f"{'bf16' if bf16 else 'f32'} curvature ---", flush=True,
+        )
+        var = run_config(d_model, layers, d_ff, heads, batch, T,
+                         attn_chunk, bf16)
+        print(json.dumps({
+            "ab": True,
+            "config": base["config"],
+            "base_matvec_ms": base["matvec_ms"],
+            "variant_matvec_ms": var["matvec_ms"],
+            "variant_over_base": round(
+                var["matvec_ms"] / base["matvec_ms"], 3
+            ),
+        }), flush=True)
+        return
+
+    run_config(d_model, layers, d_ff, heads, batch, T, attn_chunk, bf16)
 
 
 if __name__ == "__main__":
